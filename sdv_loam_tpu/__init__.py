@@ -1,0 +1,25 @@
+"""sdv_loam_tpu — TPU-native LiDAR-assisted semi-direct visual odometry.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the SDV-LOAM
+vision module (reference: ZikangYuan/SDV-LOAM, a C++/ROS DSO derivative).
+The pipeline is re-architected TPU-first: fixed-shape point pools with
+validity masks, batched/fused kernels for the hot loops, host-side control
+with device-side math, and `jax.sharding.Mesh` data parallelism for running
+many sequences at once.
+
+Package layout (see SURVEY.md §7):
+  config        typed settings (reference: src/util/settings.{h,cpp})
+  utils/        SE3 Lie ops, pyramid camera calib, interpolation
+  data/         calib/sensor parsers, KITTI reader, synthetic sequences
+  ops/          jitted/Pallas compute kernels (lidar, pyramid, select, warp,
+                align, trace, photometric GN, BA Hessian assembly)
+  models/       composed stages: tracker, matcher, backend, initializer
+  parallel/     device-mesh sharding of batched sequences
+  system/       FullSystem-equivalent orchestrator + window state
+  io/           KITTI trajectory writer, telemetry
+  eval/         ATE / RPE evaluation
+"""
+
+__version__ = "0.1.0"
+
+from sdv_loam_tpu.config import Settings  # noqa: F401

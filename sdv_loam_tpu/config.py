@@ -1,0 +1,186 @@
+"""Typed configuration for the whole framework.
+
+One frozen dataclass reproduces every behavior-relevant `setting_*` global of
+the reference (src/util/settings.cpp:1-200, src/util/settings.h) plus the
+compile-time constants (PYR_LEVELS settings.h:25, patternNum settings.h:174,
+CPARS NumType.h:31, Velodyne geometry main.cpp:102-122) and the preset system
+(main.cpp:192-241).
+
+TPU-first deltas vs the reference:
+  * fixed-capacity pools (``n_immature_cap`` etc.) replace dynamic vectors —
+    every device tensor has a static shape and a validity mask;
+  * the residual pattern is a static (8,2) array baked into kernels;
+  * randomness is seeded `jax.random`, never libc `rand()` (removes the
+    reference README's nondeterminism caveat).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import numpy as np
+
+# --- compile-time constants of the reference -------------------------------
+PYR_LEVELS = 6          # settings.h:25
+PATTERN_NUM = 8         # settings.h:174 (patternNum)
+CPARS = 4               # NumType.h:31 — fx fy cx cy
+MAX_RES_PER_POINT = 8   # NumType.h:18
+
+# The 8-point residual pattern ("8 for SSE efficiency"), settings.cpp
+# staticPattern[8]: offsets (dx, dy) around the point.
+PATTERN_P = np.array(
+    [[0, -2], [-1, -1], [1, -1], [-2, 0], [0, 0], [2, 0], [-1, 1], [0, 2]],
+    dtype=np.int32,
+)
+
+# Velodyne HDL-64 range-image geometry (main.cpp:102-122)
+N_SCAN = 64
+HORIZON_SCAN = 1800
+ANG_RES_X = 0.2
+ANG_RES_Y = 0.427
+ANG_BOTTOM = 24.9
+GROUND_SCAN_IND = 50
+SENSOR_MOUNT_ANGLE = 0.0
+SEGMENT_THETA = 60.0 / 180.0 * np.pi        # main.cpp:117
+SEGMENT_VALID_POINT_NUM = 5                 # main.cpp:118
+SEGMENT_VALID_LINE_NUM = 3                  # main.cpp:119
+SEGMENT_ALPHA_X = ANG_RES_X / 180.0 * np.pi
+SEGMENT_ALPHA_Y = ANG_RES_Y / 180.0 * np.pi
+
+# State scaling constants (HessianBlocks.h:33-49)
+SCALE_IDEPTH = 1.0
+SCALE_XI_ROT = 1.0
+SCALE_XI_TRANS = 0.5
+SCALE_F = 50.0
+SCALE_C = 50.0
+SCALE_W = 1.0
+SCALE_A = 10.0
+SCALE_B = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """All mutable `setting_*` globals of the reference, with its defaults.
+
+    Citations are to src/util/settings.cpp unless noted.
+    """
+
+    # --- keyframe policy (settings.cpp:10-17) ---
+    keyframes_per_second: float = 0.0
+    real_time_max_kf: bool = False
+    max_shift_weight_t: float = 0.04 * (640 + 480)
+    max_shift_weight_r: float = 0.0 * (640 + 480)
+    max_shift_weight_rt: float = 0.02 * (640 + 480)
+    kf_global_weight: float = 1.0
+    max_affine_weight: float = 2.0
+
+    # --- priors (settings.cpp:21-28) ---
+    idepth_fix_prior: float = 50.0 * 50.0
+    idepth_fix_prior_marg_fac: float = 600.0 * 600.0
+    initial_rot_prior: float = 1e11
+    initial_trans_prior: float = 1e10
+    initial_aff_b_prior: float = 1e14
+    initial_aff_a_prior: float = 1e14
+    initial_calib_hessian: float = 5e9
+
+    # --- solver (settings.cpp:34-36) ---
+    solver_mode_delta: float = 0.00001
+    force_accept_step: bool = False
+
+    # --- activation / marginalization (settings.cpp:41-49) ---
+    min_idepth_h_act: float = 100.0
+    min_idepth_h_marg: float = 50.0
+    desired_immature_density: float = 1500.0   # preset 0 (main.cpp:207)
+    desired_point_density: float = 2000.0      # preset 0 (main.cpp:208)
+    min_points_remaining: float = 0.05
+    max_log_aff_fac_in_window: float = 0.7
+
+    # --- window (settings.cpp:52-58) ---
+    min_frames: int = 5
+    max_frames: int = 7
+    min_frame_age: int = 1
+    max_opt_iterations: int = 6
+    min_opt_iterations: int = 1
+    th_opt_iterations: float = 1.2
+
+    # --- outliers (settings.cpp:64-65) ---
+    outlier_th: float = 12.0 * 12.0
+    outlier_th_sum_component: float = 50.0 * 50.0
+
+    marg_weight_fac: float = 0.5 * 0.5         # settings.cpp:72
+    re_track_threshold: float = 1.5            # settings.cpp:77
+
+    min_good_active_res_for_marg: int = 3      # settings.cpp:82
+    min_good_res_for_marg: int = 4             # settings.cpp:83
+
+    # --- photometric calibration (settings.cpp:92-99) ---
+    photometric_calibration: int = 2
+    use_exposure: bool = True
+    affine_opt_mode_a: float = 1e12
+    affine_opt_mode_b: float = 1e8
+    gamma_weights_pixel_select: int = 1
+
+    huber_th: float = 6.0                      # settings.cpp:105
+
+    # --- adaptive energy threshold (settings.cpp:110-115) ---
+    frame_energy_th_const_weight: float = 0.5
+    frame_energy_th_n: float = 0.7
+    frame_energy_th_fac_median: float = 1.5
+    overall_energy_th_weight: float = 1.0
+    coarse_cutoff_th: float = 20.0
+
+    # --- pixel selection (settings.cpp:119-123) ---
+    min_grad_hist_cut: float = 0.5
+    min_grad_hist_add: float = 3.0
+    grad_downweight_per_level: float = 0.75
+    select_direction_distribution: bool = True
+
+    # --- immature point tracing (settings.cpp:131-141) ---
+    max_pix_search: float = 0.027
+    min_trace_quality: float = 3.0
+    min_trace_test_radius: int = 2
+    gn_its_on_point_activation: int = 3
+    trace_stepsize: float = 1.0
+    trace_gn_iterations: int = 3
+    trace_gn_threshold: float = 0.1
+    trace_extra_slack_on_th: float = 1.2
+    trace_slack_interval: float = 1.5
+    trace_min_improvement_factor: float = 2.0
+
+    # --- misc (settings.cpp:160-185) ---
+    multi_threading: bool = False
+    debugout_runquiet: bool = True
+
+    # ------------------------------------------------------------------
+    # TPU-build additions (fixed pool capacities / precision — new design,
+    # SURVEY.md §7 "Fixed shapes + masks everywhere")
+    # ------------------------------------------------------------------
+    n_frames_cap: int = 8          # window slots: max_frames(7) + incoming
+    n_immature_cap: int = 4096     # immature point pool size
+    n_active_cap: int = 4096       # active point pool size
+    n_lidar_cand_cap: int = 16384  # projected LiDAR pixel candidates per scan
+    trace_max_steps: int = 100     # discrete epipolar search budget
+                                   #   (ImmaturePoint.cpp:207 caps at 100)
+    align_max_iters: int = 10      # Reprojector align2D GN iterations
+    solve_dtype: str = "float32"   # device solve dtype; float64 on CPU tests
+    seed: int = 0                  # jax.random seed replacing libc rand()
+
+    @classmethod
+    def preset_default(cls) -> "Settings":
+        """Preset 0/1 (main.cpp:195-214): 2000 pts, 5-7 KFs, 1-6 iters."""
+        return cls(desired_immature_density=1500.0, desired_point_density=2000.0,
+                   min_frames=5, max_frames=7, max_opt_iterations=6,
+                   min_opt_iterations=1)
+
+    @classmethod
+    def preset_fast(cls) -> "Settings":
+        """Preset 2/3 (main.cpp:217-238): 800 pts, 4-6 KFs, 1-4 iters."""
+        return cls(desired_immature_density=600.0, desired_point_density=800.0,
+                   min_frames=4, max_frames=6, max_opt_iterations=4,
+                   min_opt_iterations=1)
+
+    @cached_property
+    def pattern(self) -> np.ndarray:
+        """(8, 2) int32 residual-pattern offsets."""
+        return PATTERN_P
