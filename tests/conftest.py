@@ -2,15 +2,27 @@
 
 Multi-chip TPU hardware is not available in CI; sharding logic is validated
 on XLA's host-platform virtual devices instead (same SPMD partitioner).
-Must set flags before JAX initializes its backends.
+
+NOTE: this image's sitecustomize imports jax at interpreter startup (axon TPU
+plugin), so env vars set here are too late for jax's config snapshot — we use
+`jax.config.update` instead, which takes effect before backends initialize.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must precede first backend initialization (backends are created lazily).
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")   # never run unit tests on TPU
+jax.config.update("jax_enable_x64", True)   # f64 oracles for golden tests
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, "virtual 8-device CPU mesh required"
