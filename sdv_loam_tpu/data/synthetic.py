@@ -1,0 +1,205 @@
+"""Synthetic driving-scene generator: images + LiDAR scans + ground truth.
+
+There is no KITTI data in this environment (zero egress), so unit tests,
+end-to-end accuracy checks, and the benchmark run on a procedurally generated
+scene with exact ground truth:
+
+  * world = textured planes (ground + two side walls + far wall), world frame
+    anchored at the first camera pose (x right, y down, z forward — camera
+    convention of the reference);
+  * camera trajectory: forward driving with gentle yaw + small pose noise —
+    comparable motion profile to KITTI (~1 m/frame at 10 Hz);
+  * texture: band-limited sum of sinusoids -> smooth intensity with gradients
+    everywhere, so photometric alignment is well conditioned;
+  * LiDAR: Velodyne HDL-64-like ray pattern (64 rings x 1800 columns,
+    geometry constants of reference main.cpp:102-122) cast against the same
+    planes, returned in the LiDAR frame (x forward, y left, z up) with the
+    standard KITTI-style T_cam<-lidar extrinsics.
+
+Everything is plain NumPy on the host (data generation is not the benchmark
+target; frames are staged to device by the pipeline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from sdv_loam_tpu.config import (ANG_BOTTOM, ANG_RES_X, ANG_RES_Y, HORIZON_SCAN,
+                                 N_SCAN)
+from sdv_loam_tpu.data.calib import SensorCalib
+from sdv_loam_tpu.utils.camera import PyramidCalib, make_pyramid_calib
+
+# KITTI-style camera<-lidar rotation: cam x = -y_l, cam y = -z_l, cam z = x_l
+_R_CL = np.array([[0.0, -1.0, 0.0],
+                  [0.0, 0.0, -1.0],
+                  [1.0, 0.0, 0.0]])
+_T_CL = np.array([-0.01, -0.05, -0.29])  # ~KITTI magnitude offset
+
+
+@dataclasses.dataclass
+class Plane:
+    p0: np.ndarray       # point on plane (world)
+    n: np.ndarray        # unit normal (world), pointing toward viewable side
+    eu: np.ndarray       # in-plane texture axis u
+    ev: np.ndarray       # in-plane texture axis v
+    bounds: tuple        # (umin, umax, vmin, vmax) in plane coords, or None
+    tex_seed: int
+
+
+def _texture(u, v, seed):
+    """Band-limited procedural texture in [10, 245]."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros_like(u)
+    for k in range(6):
+        fu, fv = rng.uniform(0.05, 1.6, 2) * (1.6 ** k) * 0.25
+        pu, pv = rng.uniform(0, 2 * np.pi, 2)
+        amp = 1.0 / (1.3 ** k)
+        out = out + amp * np.sin(fu * u + pu) * np.cos(fv * v + pv)
+    out = out / 4.2  # roughly [-1, 1]
+    return np.clip(127.0 + 110.0 * out, 10.0, 245.0)
+
+
+def default_scene(cam_height: float = 1.65, half_width: float = 9.0,
+                  far: float = 260.0) -> list[Plane]:
+    g = Plane(np.array([0.0, cam_height, 0.0]), np.array([0.0, -1.0, 0.0]),
+              np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]), None, 11)
+    left = Plane(np.array([-half_width, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
+                 np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), None, 22)
+    right = Plane(np.array([half_width, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
+                  np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), None, 33)
+    back = Plane(np.array([0.0, 0.0, far]), np.array([0.0, 0.0, -1.0]),
+                 np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), None, 44)
+    return [g, left, right, back]
+
+
+def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0):
+    """Cast rays against the scene.
+
+    origins: (3,) or (N,3); dirs: (N,3). Returns (t (N,), intensity (N,)),
+    with t = +inf for misses.
+    """
+    origins = np.broadcast_to(origins, dirs.shape)
+    best_t = np.full(dirs.shape[0], np.inf)
+    best_i = np.zeros(dirs.shape[0])
+    for pl in scene:
+        denom = dirs @ pl.n
+        num = (pl.p0 - origins) @ pl.n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / denom
+        ok = (denom < -1e-9) & (t > t_min) & (t < t_max)
+        hit = origins + t[:, None] * dirs
+        u = (hit - pl.p0) @ pl.eu
+        v = (hit - pl.p0) @ pl.ev
+        if pl.bounds is not None:
+            umin, umax, vmin, vmax = pl.bounds
+            ok &= (u >= umin) & (u <= umax) & (v >= vmin) & (v <= vmax)
+        closer = ok & (t < best_t)
+        if np.any(closer):
+            inten = _texture(u[closer], v[closer], pl.tex_seed)
+            best_t[closer] = t[closer]
+            best_i[closer] = inten
+    return best_t, best_i
+
+
+def make_trajectory(n_frames: int, step: float = 1.0, yaw_rate: float = 0.004,
+                    noise: float = 0.0, seed: int = 7) -> np.ndarray:
+    """(n, 4, 4) T_world<-cam ground-truth poses: forward drive with slow yaw."""
+    rng = np.random.default_rng(seed)
+    poses = np.zeros((n_frames, 4, 4))
+    T = np.eye(4)
+    yaw = 0.0
+    for i in range(n_frames):
+        poses[i] = T
+        yaw_i = yaw_rate + (rng.standard_normal() * noise * 0.001)
+        yaw += yaw_i
+        c, s = np.cos(yaw_i), np.sin(yaw_i)
+        # rotation about camera y (down) axis = yaw in driving plane
+        Rstep = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        tstep = np.array([0.0, 0.0, step]) + rng.standard_normal(3) * noise * 0.01
+        Tstep = np.eye(4)
+        Tstep[:3, :3] = Rstep
+        Tstep[:3, 3] = tstep
+        T = T @ Tstep
+    return poses
+
+
+@dataclasses.dataclass
+class SyntheticSequence:
+    """In-memory synthetic sequence with the reader interface the system uses."""
+
+    calib: PyramidCalib
+    sensor: SensorCalib
+    poses_wc: np.ndarray          # (n, 4, 4) ground truth T_world<-cam
+    scene: list
+    timestamps: np.ndarray
+    lidar_stride: int = 4         # subsample columns for speed
+
+    def __len__(self):
+        return self.poses_wc.shape[0]
+
+    def get_image(self, i: int) -> np.ndarray:
+        c = self.calib
+        T = self.poses_wc[i]
+        xx, yy = np.meshgrid(np.arange(c.w[0], dtype=np.float64),
+                             np.arange(c.h[0], dtype=np.float64))
+        dx = (xx - c.cx[0]) / c.fx[0]
+        dy = (yy - c.cy[0]) / c.fy[0]
+        dirs_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1).reshape(-1, 3)
+        dirs_world = dirs_cam @ T[:3, :3].T
+        t, inten = _raycast(self.scene, T[:3, 3], dirs_world)
+        img = np.where(np.isfinite(t), inten, 0.0)
+        return img.reshape(c.h[0], c.w[0]).astype(np.float32)
+
+    def get_depth(self, i: int) -> np.ndarray:
+        """Ground-truth metric z-depth image (for oracle tests)."""
+        c = self.calib
+        T = self.poses_wc[i]
+        xx, yy = np.meshgrid(np.arange(c.w[0], dtype=np.float64),
+                             np.arange(c.h[0], dtype=np.float64))
+        dx = (xx - c.cx[0]) / c.fx[0]
+        dy = (yy - c.cy[0]) / c.fy[0]
+        dirs_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1).reshape(-1, 3)
+        norm = np.linalg.norm(dirs_cam, axis=-1)
+        dirs_world = dirs_cam @ T[:3, :3].T
+        t, _ = _raycast(self.scene, T[:3, 3], dirs_world)
+        # t is distance along unnormalized dir with |d_z_cam| = 1 -> t == z depth
+        return t.reshape(c.h[0], c.w[0]).astype(np.float32)
+
+    def get_cloud(self, i: int) -> np.ndarray:
+        """(N, 3) LiDAR-frame points for scan i (Velodyne-like ray pattern)."""
+        T_wc = self.poses_wc[i]
+        T_wl = T_wc @ self.sensor.T_cam_lidar
+        rows = np.arange(N_SCAN, dtype=np.float64)
+        cols = np.arange(0, HORIZON_SCAN, self.lidar_stride, dtype=np.float64)
+        vert = np.deg2rad(rows * ANG_RES_Y - ANG_BOTTOM)
+        horiz = np.deg2rad((HORIZON_SCAN / 2 - cols) * ANG_RES_X + 90.0)
+        v, h = np.meshgrid(vert, horiz, indexing="ij")
+        d_l = np.stack([np.cos(v) * np.sin(h), np.cos(v) * np.cos(h),
+                        np.sin(v)], axis=-1).reshape(-1, 3)
+        d_w = d_l @ T_wl[:3, :3].T
+        t, _ = _raycast(self.scene, T_wl[:3, 3], d_w, t_min=1.0, t_max=80.0)
+        hitmask = np.isfinite(t)
+        pts_l = d_l[hitmask] * t[hitmask, None]
+        return pts_l.astype(np.float32)
+
+    def get(self, i: int):
+        return self.get_image(i), self.get_cloud(i), float(self.timestamps[i])
+
+
+def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
+                  fx: float | None = None, step: float = 1.0,
+                  yaw_rate: float = 0.004, seed: int = 7,
+                  lidar_stride: int = 4) -> SyntheticSequence:
+    """Build a synthetic sequence. Default small size for tests; use
+    (1200, 360) with fx≈718 for KITTI-like benchmark runs."""
+    if fx is None:
+        fx = 0.6 * w  # ~horizontal FOV of KITTI
+    calib = make_pyramid_calib(w, h, fx, fx, (w - 1) / 2.0, (h - 1) / 2.0 - h * 0.12)
+    sensor = SensorCalib(np.array([fx, fx, (w - 1) / 2.0, (h - 1) / 2.0]),
+                         _R_CL.copy(), _T_CL.copy())
+    poses = make_trajectory(n_frames, step=step, yaw_rate=yaw_rate, seed=seed)
+    ts = np.arange(n_frames) * 0.1
+    return SyntheticSequence(calib, sensor, poses, default_scene(), ts,
+                             lidar_stride=lidar_stride)
