@@ -1,0 +1,68 @@
+"""Image pyramid with gradients — the `makeImages` stage.
+
+Reference: FrameHessian::makeImages (HessianBlocks.cpp:107-167):
+  * level l intensity = 2x2 average pool of level l-1 (exact 0.25 sum);
+  * per-level central-difference gradients dx, dy (0.5 * (I[+1] - I[-1]));
+  * absSquaredGrad = dx² + dy², optionally multiplied by the squared gamma
+    response derivative (photometric weighting, HessianBlocks.cpp:155-160).
+
+TPU-first: one jitted function produces every level in a single trace; each
+level is a dense (H, W, 3) tensor [intensity, dx, dy] resident in HBM. Border
+rows/cols get zero gradients (the reference leaves its first/last rows
+uninitialized and all consumers stay >= 2 px inside, so this is strictly
+safer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x2 average pooling, (H, W) -> (H//2, W//2)."""
+    h, w = img.shape
+    return 0.25 * (img[0:h:2, 0:w:2] + img[0:h:2, 1:w:2]
+                   + img[1:h:2, 0:w:2] + img[1:h:2, 1:w:2])
+
+
+def gradients(img: jnp.ndarray):
+    """Central-difference gradients with zeroed borders."""
+    dx = jnp.zeros_like(img)
+    dy = jnp.zeros_like(img)
+    dx = dx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    dy = dy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    return dx, dy
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def make_images(color: jnp.ndarray, levels: int, gamma_grad: jnp.ndarray | None = None):
+    """Build the per-frame pyramid.
+
+    Args:
+      color: (H, W) float32 intensity image (post photometric calibration).
+      levels: number of pyramid levels (static).
+      gamma_grad: optional (256,) dB/dI lookup for gradient weighting
+        (CalibHessian::getBGradOnly, HessianBlocks.h:300-310). None => 1.
+
+    Returns:
+      dI:  tuple of (H_l, W_l, 3) arrays [intensity, dx, dy] per level.
+      abs_grad: tuple of (H_l, W_l) squared-gradient arrays per level.
+    """
+    dI = []
+    abs_grad = []
+    img = color
+    for lvl in range(levels):
+        if lvl > 0:
+            img = avg_pool2(img)
+        dx, dy = gradients(img)
+        dI.append(jnp.stack([img, dx, dy], axis=-1))
+        g2 = dx * dx + dy * dy
+        if gamma_grad is not None:
+            idx = jnp.clip(img.astype(jnp.int32), 0, 254)
+            gw = gamma_grad[idx]
+            g2 = g2 * gw * gw
+        abs_grad.append(g2)
+    return tuple(dI), tuple(abs_grad)

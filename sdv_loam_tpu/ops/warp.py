@@ -1,0 +1,94 @@
+"""Bilinear sampling / gather primitives.
+
+Replaces the reference's interpolation family (globalFuncs.h:15-163:
+getInterpolatedElement31 / 33 / 33BiLin / 11BiCub ...) with batched gathers.
+All samplers take arrays of coordinates and return a validity mask instead of
+relying on callers to stay in bounds; out-of-bounds samples return 0 with
+mask False, which keeps downstream masked reductions well-defined under jit.
+
+On TPU the 4-corner gather lowers to XLA dynamic-gather over a flattened
+(H*W, C) buffer. For the hot photometric-tracking loop a fused Pallas variant
+lives in ops/pallas/; this module is the reference implementation and the
+default path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Sample `img` at float coords (x, y), pixel-centered, C channels.
+
+    Args:
+      img: (H, W) or (H, W, C) array.
+      x, y: (...,) float coordinates (x along W, y along H).
+
+    Returns:
+      values: (..., C) (or (...,) for 2-D input), 0 outside.
+      valid:  (...,) bool — True where the full 2x2 support is inside.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    ax = (x - x0f).astype(img.dtype)
+    ay = (y - y0f).astype(img.dtype)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    valid = (x0 >= 0) & (x0 <= w - 2) & (y0 >= 0) & (y0 <= h - 2)
+    x0c = jnp.clip(x0, 0, w - 2)
+    y0c = jnp.clip(y0, 0, h - 2)
+    flat = img.reshape(h * w, c)
+    base = y0c * w + x0c
+    i00 = jnp.take(flat, base, axis=0)
+    i01 = jnp.take(flat, base + 1, axis=0)
+    i10 = jnp.take(flat, base + w, axis=0)
+    i11 = jnp.take(flat, base + w + 1, axis=0)
+    wx0 = (1.0 - ax)[..., None]
+    wx1 = ax[..., None]
+    wy0 = (1.0 - ay)[..., None]
+    wy1 = ay[..., None]
+    out = (i00 * wx0 * wy0 + i01 * wx1 * wy0 + i10 * wx0 * wy1 + i11 * wx1 * wy1)
+    out = jnp.where(valid[..., None], out, 0.0)
+    if squeeze:
+        out = out[..., 0]
+    return out, valid
+
+
+def nearest_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Nearest-neighbor sample with validity mask."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    out = jnp.take(img.reshape(h * w, c), yi * w + xi, axis=0)
+    out = jnp.where(valid[..., None], out, 0.0)
+    if squeeze:
+        out = out[..., 0]
+    return out, valid
+
+
+def gather_patches(img: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                   offsets: jnp.ndarray):
+    """Bilinear-sample a fixed offset pattern around each center.
+
+    Args:
+      img: (H, W) or (H, W, C).
+      cx, cy: (N,) centers.
+      offsets: (P, 2) [dx, dy] offsets (float or int).
+
+    Returns (N, P[, C]) samples and (N, P) validity.
+    """
+    ox = offsets[:, 0].astype(jnp.float32)
+    oy = offsets[:, 1].astype(jnp.float32)
+    xs = cx[:, None] + ox[None, :]
+    ys = cy[:, None] + oy[None, :]
+    return bilinear_sample(img, xs, ys)
