@@ -1,0 +1,272 @@
+"""Gradient-based pixel selection — the PixelSelector stage.
+
+Reference: src/FullSystem/PixelSelector2.{h,cpp}.
+  * makeHists (PixelSelector2.cpp:47-106): 32x32-block histograms of
+    sqrt(absSquaredGrad), per-block threshold = quantile(0.5) + 3, then
+    3x3-neighborhood mean, squared -> thsSmoothed;
+  * select (PixelSelector2.cpp:209-352): 3-scale cascade over blocks of
+    pot / 2pot / 4pot pixels. Within each pot cell, the best pixel passing
+    the level-0 gradient threshold (score = |grad . random_dir|) is selected
+    with status 1; 2pot blocks with no selection pick a pixel passing the
+    down-weighted level-1 threshold (status 2); likewise 4pot -> status 4;
+  * makeMaps (PixelSelector2.cpp:108-207): density feedback adjusting `pot`
+    (one recursion) plus random subsampling toward the target density;
+  * selectFromLidar / makeMapsFromLidar (PixelSelector2.cpp:354-622): the
+    same cascade restricted to projected LiDAR candidate pixels.
+
+TPU-native redesign:
+  * the scalar triple-loop becomes dense per-pixel pass masks + blockwise
+    argmax via reshape (pure VPU work, no scatter);
+  * scan-order-dependent tie-breaking and libc rand() directions are
+    replaced by seeded `jax.random` per-cell directions — deterministic, same
+    distribution (SURVEY.md §7 determinism note);
+  * the LiDAR variant takes the splatted nearest-depth candidate map from
+    ops.lidar (a per-pixel mask) instead of bucketed candidate lists: with
+    duplicates-per-pixel removed the selection outcome is identical because
+    the cascade scores pixels, not candidates;
+  * `pot` is a static argument (recompiles for the few values the density
+    controller visits; XLA caches each).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdv_loam_tpu.config import Settings
+
+# the 16 candidate directions (PixelSelector2.cpp:214-229)
+DIRECTIONS = np.array(
+    [[0, 1.0000], [0.3827, 0.9239], [0.1951, 0.9808], [0.9239, 0.3827],
+     [0.7071, 0.7071], [0.3827, -0.9239], [0.8315, 0.5556], [0.8315, -0.5556],
+     [0.5556, -0.8315], [0.9808, 0.1951], [0.9239, -0.3827], [0.7071, -0.7071],
+     [0.5556, 0.8315], [0.9808, -0.1951], [1.0000, 0.0000], [0.1951, -0.9808]],
+    dtype=np.float32)
+
+
+@jax.jit
+def grad_hist_thresholds(abs_grad0: jnp.ndarray, min_grad_hist_cut: float = 0.5,
+                         min_grad_hist_add: float = 3.0):
+    """Per-32x32-block smoothed gradient thresholds (makeHists).
+
+    Returns ths_smoothed with shape (h//32, w//32): squared threshold,
+    comparable against absSquaredGrad directly.
+    """
+    h, w = abs_grad0.shape
+    h32, w32 = h // 32, w // 32
+    g = jnp.sqrt(abs_grad0[:h32 * 32, :w32 * 32])
+    gi = jnp.clip(g.astype(jnp.int32), 0, 48)
+    # exclude image border ring (it<1 || it>w-2 ...) like the reference
+    yy, xx = jnp.meshgrid(jnp.arange(h32 * 32), jnp.arange(w32 * 32),
+                          indexing="ij")
+    inb = (xx >= 1) & (xx <= w - 2) & (yy >= 1) & (yy <= h - 2)
+    blocks = gi.reshape(h32, 32, w32, 32).transpose(0, 2, 1, 3).reshape(h32, w32, -1)
+    binb = inb.reshape(h32, 32, w32, 32).transpose(0, 2, 1, 3).reshape(h32, w32, -1)
+    # histogram per block over 49 bins
+    onehot = (blocks[..., None] == jnp.arange(49)) & binb[..., None]
+    hist = onehot.sum(axis=2)                       # (h32, w32, 49)
+    total = hist.sum(axis=-1)
+    # quantile: smallest bin b with cumsum > cut*total (computeHistQuantil)
+    cum = jnp.cumsum(hist, axis=-1)
+    th = jnp.float32(min_grad_hist_cut) * total[..., None]
+    qbin = jnp.argmax(cum > th, axis=-1).astype(jnp.float32)
+    qbin = jnp.where(cum[..., -1] > th[..., 0], qbin, 90.0)
+    ths = qbin + min_grad_hist_add
+    # 3x3 neighborhood mean then square (makeHists:81-105)
+    pad = jnp.pad(ths, 1, constant_values=0.0)
+    cnt = jnp.pad(jnp.ones_like(ths), 1, constant_values=0.0)
+    ssum = sum(pad[1 + dy:1 + dy + h32, 1 + dx:1 + dx + w32]
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    scnt = sum(cnt[1 + dy:1 + dy + h32, 1 + dx:1 + dx + w32]
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    sm = ssum / scnt
+    return sm * sm
+
+
+def _block_reduce_argmax(score, block):
+    """Blockwise argmax. score: (H, W) with -inf for non-candidates.
+
+    Returns (best_val (nby, nbx), best_flat_idx (nby, nbx)) where idx is the
+    flattened H*W pixel index of the block maximum.
+    """
+    h, w = score.shape
+    nby, nbx = h // block, w // block
+    s = score.reshape(nby, block, nbx, block).transpose(0, 2, 1, 3).reshape(
+        nby, nbx, block * block)
+    k = jnp.argmax(s, axis=-1)
+    v = jnp.take_along_axis(s, k[..., None], axis=-1)[..., 0]
+    by = k // block
+    bx = k % block
+    yy = jnp.arange(nby)[:, None] * block + by
+    xx = jnp.arange(nbx)[None, :] * block + bx
+    return v, yy * w + xx
+
+
+def _pad_to(img, hp, wp, value):
+    h, w = img.shape
+    return jnp.pad(img, ((0, hp - h), (0, wp - w)), constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("pot", "select_direction_distribution"))
+def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
+                   pot: int, th_factor: float = 1.0,
+                   grad_downweight_per_level: float = 0.75,
+                   select_direction_distribution: bool = True):
+    """The 3-scale selection cascade (select / selectFromLidar).
+
+    Args:
+      dI0: (H, W, 3) level-0 [intensity, dx, dy].
+      ag0/ag1/ag2: absSquaredGrad at levels 0..2.
+      ths_smoothed: (H//32, W//32) squared thresholds.
+      cand_mask: (H, W) bool — candidate pixels (all-interior for the mono
+        path; LiDAR-projected pixels for the depth path).
+      key: PRNG key for the per-cell random directions.
+      pot: potential (cell size), static.
+
+    Returns:
+      status: (H, W) int8 in {0,1,2,4}.
+      counts: (3,) int32 — number of status 1 / 2 / 4 selections.
+    """
+    h, w = ag0.shape
+    gx = dI0[..., 1]
+    gy = dI0[..., 2]
+
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    inb = (xx >= 4) & (xx < w - 5) & (yy >= 4) & (yy < h - 4)  # select():283
+    cand = cand_mask & inb
+
+    th0 = ths_smoothed[jnp.minimum(yy >> 5, ths_smoothed.shape[0] - 1),
+                       jnp.minimum(xx >> 5, ths_smoothed.shape[1] - 1)]
+    dw1 = grad_downweight_per_level
+    th1 = th0 * dw1
+    th2 = th1 * dw1 * dw1
+
+    # level-1/2 gradient maps sampled at the reference's half/quarter coords
+    x1 = (xx.astype(jnp.float32) * 0.5 + 0.25).astype(jnp.int32)
+    y1 = (yy.astype(jnp.float32) * 0.5 + 0.25).astype(jnp.int32)
+    ag1v = ag1[jnp.clip(y1, 0, ag1.shape[0] - 1), jnp.clip(x1, 0, ag1.shape[1] - 1)]
+    x2 = (xx.astype(jnp.float32) * 0.25 + 0.125).astype(jnp.int32)
+    y2 = (yy.astype(jnp.float32) * 0.25 + 0.125).astype(jnp.int32)
+    ag2v = ag2[jnp.clip(y2, 0, ag2.shape[0] - 1), jnp.clip(x2, 0, ag2.shape[1] - 1)]
+
+    pass0 = cand & (ag0 > th0 * th_factor)
+    pass1 = cand & (ag1v > th1 * th_factor)
+    pass2 = cand & (ag2v > th2 * th_factor)
+
+    # pad to a multiple of 4*pot
+    p4 = 4 * pot
+    hp = -(-h // p4) * p4
+    wp = -(-w // p4) * p4
+    nc_y, nc_x = hp // pot, wp // pot
+
+    # random direction per pot cell / 2pot block / 4pot block
+    k1, k2, k3 = jax.random.split(key, 3)
+    dirs = jnp.asarray(DIRECTIONS)
+
+    def cell_dirs(k, n_y, n_x, rep):
+        idx = jax.random.randint(k, (n_y, n_x), 0, 16)
+        d = dirs[idx]                                  # (n_y, n_x, 2)
+        d = jnp.repeat(jnp.repeat(d, rep, axis=0), rep, axis=1)
+        return d[:hp, :wp]
+
+    d1 = cell_dirs(k1, nc_y, nc_x, pot)
+    d2 = cell_dirs(k2, nc_y // 2 + 1, nc_x // 2 + 1, 2 * pot)
+    d3 = cell_dirs(k3, nc_y // 4 + 1, nc_x // 4 + 1, 4 * pot)
+
+    gxp = _pad_to(gx, hp, wp, 0.0)
+    gyp = _pad_to(gy, hp, wp, 0.0)
+
+    def dir_score(d):
+        s = jnp.abs(gxp * d[..., 0] + gyp * d[..., 1])
+        return s
+
+    neg = jnp.float32(-1.0)
+    if select_direction_distribution:
+        s0 = dir_score(d1)
+        s1 = dir_score(d2)
+        s2 = dir_score(d3)
+    else:
+        s0 = _pad_to(ag0, hp, wp, 0.0)
+        s1 = _pad_to(ag1v, hp, wp, 0.0)
+        s2 = _pad_to(ag2v, hp, wp, 0.0)
+
+    p0 = _pad_to(pass0, hp, wp, False)
+    p1 = _pad_to(pass1, hp, wp, False)
+    p2 = _pad_to(pass2, hp, wp, False)
+
+    # level 1: per pot cell
+    sc0 = jnp.where(p0, s0, neg)
+    v1, i1 = _block_reduce_argmax(sc0, pot)
+    sel1 = v1 >= 0.0                                     # (nc_y, nc_x)
+
+    # level 2: per 2pot block, only pixels of pot cells without a selection
+    cell_has1 = jnp.repeat(jnp.repeat(sel1, pot, axis=0), pot, axis=1)
+    sc1 = jnp.where(p1 & (~cell_has1), s1, neg)
+    v2, i2 = _block_reduce_argmax(sc1, 2 * pot)
+    blk_has1 = sel1.reshape(nc_y // 2, 2, nc_x // 2, 2).any(axis=(1, 3))
+    sel2 = (v2 >= 0.0) & (~blk_has1)
+
+    # level 3: per 4pot block
+    blk2_has = jnp.repeat(jnp.repeat(sel2, 2 * pot, axis=0), 2 * pot, axis=1)
+    sc2 = jnp.where(p2 & (~cell_has1) & (~blk2_has), s2, neg)
+    v3, i3 = _block_reduce_argmax(sc2, 4 * pot)
+    blk4_has1 = sel1.reshape(nc_y // 4, 4, nc_x // 4, 4).any(axis=(1, 3))
+    blk4_has2 = sel2.reshape(nc_y // 4, 2, nc_x // 4, 2).any(axis=(1, 3))
+    sel3 = (v3 >= 0.0) & (~blk4_has1) & (~blk4_has2)
+
+    # scatter statuses into the (padded) image, then crop
+    status = jnp.zeros((hp * wp,), jnp.int8)
+    status = status.at[jnp.where(sel3, i3, hp * wp - 1)].max(
+        jnp.where(sel3, jnp.int8(4), jnp.int8(0)))
+    status = status.at[jnp.where(sel2, i2, hp * wp - 1)].max(
+        jnp.where(sel2, jnp.int8(2), jnp.int8(0)))
+    status = status.at[jnp.where(sel1, i1, hp * wp - 1)].max(
+        jnp.where(sel1, jnp.int8(1), jnp.int8(0)))
+    status = status.reshape(hp, wp)[:h, :w]
+    counts = jnp.stack([sel1.sum(), sel2.sum(), sel3.sum()]).astype(jnp.int32)
+    return status, counts
+
+
+def make_maps(dI0, abs_grads, cand_mask, density, key, pot_state: dict,
+              settings: Settings, th_factor: float = 1.0):
+    """Host-driven density feedback around select_cascade (makeMaps /
+    makeMapsFromLidar, PixelSelector2.cpp:108-207 & 354-457).
+
+    pot_state: mutable {"pot": int} carried across keyframes (the reference
+    keeps currentPotential in the selector object).
+
+    Returns (status (H, W) int8 np-array, n_selected int).
+    """
+    ths = grad_hist_thresholds(abs_grads[0], settings.min_grad_hist_cut,
+                               settings.min_grad_hist_add)
+    pot = max(1, int(pot_state.get("pot", 3)))
+    k_sel, k_sub = jax.random.split(key)
+
+    for recursion in range(2):  # initial + up to 1 re-run (recursionsLeft=1)
+        status, counts = select_cascade(
+            dI0, abs_grads[0], abs_grads[1], abs_grads[2], ths, cand_mask,
+            k_sel, pot, th_factor, settings.grad_downweight_per_level,
+            settings.select_direction_distribution)
+        num_have = float(np.asarray(counts).sum())
+        quotia = density / max(num_have, 1.0)
+        K = num_have * (pot + 1) * (pot + 1)
+        ideal_pot = max(1, int(np.sqrt(K / max(density, 1.0)) - 1))
+        if recursion == 0 and quotia > 1.25 and pot > 1:
+            pot = min(ideal_pot, pot - 1)
+            continue
+        if recursion == 0 and quotia < 0.25:
+            pot = max(ideal_pot, pot + 1)
+            continue
+        break
+
+    status_np = np.asarray(status)
+    n_have = int((status_np != 0).sum())
+    if quotia < 0.95 and n_have > 0:
+        keep = np.asarray(jax.random.uniform(k_sub, status_np.shape) < quotia)
+        status_np = np.where(keep, status_np, 0).astype(np.int8)
+        n_have = int((status_np != 0).sum())
+    pot_state["pot"] = ideal_pot
+    return status_np, n_have
