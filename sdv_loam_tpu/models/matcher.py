@@ -1,0 +1,164 @@
+"""Reprojector — map-point reprojection + direct feature alignment.
+
+Reference: src/FullSystem/Reprojector.{h,cpp}.
+  * reprojectPoint (:601-616): project every window map point into the target
+    frame, bin into a 25-px grid (boundary 8);
+  * reprojectCell (:198-236): one match attempt per cell, candidates ordered
+    by gradient norm (pointQualityComparator :188-196);
+  * findMatchDirect (:238-293): affine warp from the host frame + align2D
+    (corners) / align1D (edgelets) on the best search level;
+  * reprojectMap (:117-156) for tracking (target = new frame) and
+    backprojectMap (:158-186) at KF time to fill PointHessian::matcher.
+
+TPU-native redesign: all points are processed as one batch. Grid binning and
+per-cell winner selection use two scatter-min passes (quality then index —
+deterministic tie-break, replacing the reference's random_shuffle cell order
+which only mattered for its early-exit match cap). All per-cell winners are
+aligned in one batched inverse-compositional pass over a flattened target
+pyramid. The reference caps matches at 0.8 x immature density to bound CPU
+time (:152-155); the batched version matches every cell — strictly more
+observations at no wall-clock cost.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sdv_loam_tpu.ops.align import (align1d_batch, align2d_batch,
+                                    best_search_level, warp_affine_patches,
+                                    warp_matrix_affine)
+from sdv_loam_tpu.utils import se3
+
+CELL_SIZE = 25          # Reprojector::initializeGrid (:100)
+PROJ_BOUNDARY = 8       # reprojectPoint (:609)
+REF_BOUNDARY = 6        # findMatchDirect (:263): halfpatch+2
+
+
+def _project(T_wc_inv, pts_world, K):
+    fx, fy, cx, cy = K[0], K[1], K[2], K[3]
+    pf = pts_world @ T_wc_inv[:3, :3].T + T_wc_inv[:3, 3]
+    z = pf[:, 2]
+    zs = jnp.where(z == 0, 1e-9, z)
+    u = fx * pf[:, 0] / zs + cx
+    v = fy * pf[:, 1] / zs + cy
+    return jnp.stack([u, v], axis=-1), z
+
+
+@partial(jax.jit, static_argnames=("w", "h", "max_level"))
+def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
+                        pts_valid, pts_quality,
+                        T_wc_stack, aff_stack, exposure_stack,
+                        dI0_stack, flat_pyr, offsets, widths, heights,
+                        T_wc_target, aff_target, exposure_target,
+                        K, ref_idx_per_point,
+                        w: int, h: int, max_level: int):
+    """Match window map points into a target frame.
+
+    Args:
+      pts_*: (N,) point pool — host pixel, inverse depth, host slot, type
+        (0 corner / 1 edgelet), validity, quality (= |grad| at host pixel,
+        lower preferred per pointQualityComparator).
+      T_wc_stack/aff_stack/exposure_stack: (F, ...) window frame states.
+      dI0_stack: (F, H, W, 3) level-0 pyramids of window frames.
+      flat_pyr/offsets/widths/heights: flattened TARGET pyramid.
+      T_wc_target/aff_target/exposure_target: target frame state.
+      ref_idx_per_point: (N,) int32 — reference frame slot for the patch
+        (normally the host; overridden host-side when the window has <= 2
+        frames, findMatchDirect:242-252).
+
+    Returns dict(matched (N,) bool, px (N, 2) level-0 target pixel).
+    """
+    N = pts_u.shape[0]
+    fx, fy, cx, cy = K[0], K[1], K[2], K[3]
+
+    # --- world points from host state ---
+    host = jnp.clip(pts_host, 0, T_wc_stack.shape[0] - 1)
+    T_wc_h = T_wc_stack[host]
+    xn = (pts_u - cx) / fx
+    yn = (pts_v - cy) / fy
+    p_ref = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=-1) / \
+        jnp.maximum(pts_idepth, 1e-9)[:, None]
+    pw = jnp.einsum("nij,nj->ni", T_wc_h[:, :3, :3], p_ref) + T_wc_h[:, :3, 3]
+
+    # --- project into target, grid binning (reprojectPoint) ---
+    T_tw = se3.inverse(T_wc_target)
+    px_t, z_t = _project(T_tw, pw, K)
+    pxi = px_t.astype(jnp.int32)
+    inb = (pts_valid & (z_t > 0)
+           & (pxi[:, 0] >= PROJ_BOUNDARY) & (pxi[:, 0] < w - PROJ_BOUNDARY)
+           & (pxi[:, 1] >= PROJ_BOUNDARY) & (pxi[:, 1] < h - PROJ_BOUNDARY))
+
+    n_cols = -(-w // CELL_SIZE)
+    n_rows = -(-h // CELL_SIZE)
+    n_cells = n_cols * n_rows
+    cell = jnp.where(inb, (pxi[:, 1] // CELL_SIZE) * n_cols
+                     + (pxi[:, 0] // CELL_SIZE), n_cells)
+
+    # winner per cell: min quality, then min index among ties
+    BIGQ = jnp.float32(1e30)
+    q = jnp.where(inb, pts_quality, BIGQ)
+    cell_minq = jnp.full((n_cells + 1,), BIGQ).at[cell].min(q)
+    tie = inb & (q == cell_minq[cell])
+    idxs = jnp.arange(N, dtype=jnp.int32)
+    cell_mini = jnp.full((n_cells + 1,), N, jnp.int32).at[
+        jnp.where(tie, cell, n_cells)].min(jnp.where(tie, idxs, N))
+    winner = tie & (cell_mini[cell] == idxs)
+
+    # --- findMatchDirect for winners (computed for all lanes, masked) ---
+    ref_idx = jnp.clip(ref_idx_per_point, 0, T_wc_stack.shape[0] - 1)
+    T_wc_r = T_wc_stack[ref_idx]
+    T_rw = se3.inverse(T_wc_r)
+    pf_r = jnp.einsum("nij,nj->ni", T_rw[:, :3, :3], pw) + T_rw[:, :3, 3]
+    z_r = pf_r[:, 2]
+    zs = jnp.where(z_r == 0, 1e-9, z_r)
+    px_r = jnp.stack([fx * pf_r[:, 0] / zs + cx,
+                      fy * pf_r[:, 1] / zs + cy], axis=-1)
+    pxi_r = px_r.astype(jnp.int32)
+    ref_ok = ((z_r > 0)
+              & (pxi_r[:, 0] >= REF_BOUNDARY) & (pxi_r[:, 0] < w - REF_BOUNDARY)
+              & (pxi_r[:, 1] >= REF_BOUNDARY) & (pxi_r[:, 1] < h - REF_BOUNDARY))
+    cand = winner & ref_ok
+
+    # affine warp + search level (per candidate, vmapped over ref poses)
+    T_cur_ref = jnp.einsum("ij,njk->nik", T_tw, T_wc_r)
+
+    def warp_one(pxr, zr, Tcr):
+        return warp_matrix_affine(pxr[None], zr[None], K, None, Tcr)[0]
+
+    A = jax.vmap(warp_one)(px_r, z_r, T_cur_ref)
+    lvl = best_search_level(A, max_level)
+    patches = warp_affine_patches(dI0_stack, ref_idx, px_r, A, lvl)
+
+    # brightness transfer ref -> target
+    a_rel = jnp.exp(aff_target[0] - aff_stack[ref_idx, 0]) * \
+        jnp.where((exposure_stack[ref_idx] == 0) | (exposure_target == 0), 1.0,
+                  exposure_target / exposure_stack[ref_idx])
+    b_rel = aff_target[1] - a_rel * aff_stack[ref_idx, 1]
+
+    scale = (1 << lvl).astype(jnp.float32)
+    px_scaled = px_t / scale[:, None]
+
+    px2, conv2 = align2d_batch(flat_pyr, offsets, widths, heights, lvl,
+                               patches, px_scaled, a_rel, b_rel, cand)
+
+    # edgelet direction: host gradient at the ref pixel, pushed through A
+    hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
+    flat0 = dI0_stack.reshape(-1, 3)
+    gidx = ref_idx * hw_img + pxi_r[:, 1] * dI0_stack.shape[2] + pxi_r[:, 0]
+    g = jnp.take(flat0, jnp.clip(gidx, 0, flat0.shape[0] - 1), axis=0)[:, 1:]
+    gn = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+    dir_cur = jnp.einsum("nij,nj->ni", A, gn)
+    dir_cur = dir_cur / jnp.maximum(jnp.linalg.norm(dir_cur, axis=-1,
+                                                    keepdims=True), 1e-9)
+    px1, conv1 = align1d_batch(flat_pyr, offsets, widths, heights, lvl,
+                               patches, px_scaled, dir_cur, a_rel, b_rel,
+                               cand)
+
+    is_edge = pts_type == 1
+    px_out = jnp.where(is_edge[:, None], px1, px2) * scale[:, None]
+    matched = jnp.where(is_edge, conv1, conv2) & cand
+    matched = matched & jnp.isfinite(px_out).all(axis=-1)
+    return dict(matched=matched, px=px_out)
