@@ -1,0 +1,1179 @@
+"""FullSystem — the odometry orchestrator.
+
+Reference: src/FullSystem/FullSystem.cpp (+ FullSystemOptimize/Marginalize/
+OptPoint). Host-side control flow (keyframe policy, window bookkeeping,
+pool lifecycle) drives device-side batched kernels:
+
+  frame step (addActiveFrame, FullSystem.cpp:822-900):
+    LiDAR preprocess -> pyramid -> [init | track ladder + struct pose]
+    -> KF decision -> makeKeyFrame / makeNonKeyFrame
+  keyframe (makeKeyFrame, FullSystem.cpp:1040-1174):
+    trace -> flag marg -> insert frame -> new traces (LiDAR+mono selection)
+    -> add residuals -> activate points -> matcher refresh -> windowed BA
+    -> remove outliers -> new tracking ref -> point/frame marginalization
+
+TPU-native state: fixed-capacity pools with host-side numpy masks for
+control and device arrays for compute; the window is a fixed F=8 slot array
+with an occupancy mask (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdv_loam_tpu.config import Settings
+from sdv_loam_tpu.data.calib import SensorCalib
+from sdv_loam_tpu.models import backend
+from sdv_loam_tpu.models.matcher import reproject_and_match
+from sdv_loam_tpu.ops import lidar as lidar_ops
+from sdv_loam_tpu.ops import trace as trace_ops
+from sdv_loam_tpu.ops.align import flatten_pyramid
+from sdv_loam_tpu.ops.distmap import distance_map, shi_tomasi
+from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth, track_pyramid
+from sdv_loam_tpu.ops.pyramid import make_images
+from sdv_loam_tpu.ops.select import make_maps
+from sdv_loam_tpu.ops.struct_pose import struct_pose_estimate
+from sdv_loam_tpu.utils import se3
+from sdv_loam_tpu.utils.camera import PyramidCalib
+
+# point-type codes
+CORNER = 0
+EDGELET = 1
+
+
+def _rotation_ladder(rot_delta=0.02):
+    """The 26 unit-quaternion rotation perturbations of trackNewCoarse
+    (FullSystem.cpp:341-398)."""
+    out = []
+    d = rot_delta
+    combos = [(d, 0, 0), (0, d, 0), (0, 0, d), (-d, 0, 0), (0, -d, 0),
+              (0, 0, -d), (d, d, 0), (0, d, d), (d, 0, d), (-d, d, 0),
+              (0, -d, d), (-d, 0, d), (d, -d, 0), (0, d, -d), (d, 0, -d),
+              (-d, -d, 0), (0, -d, -d), (-d, 0, -d), (-d, -d, -d),
+              (-d, -d, d), (-d, d, -d), (-d, d, d), (d, -d, -d), (d, -d, d),
+              (d, d, -d), (d, d, d)]
+    for (x, y, z) in combos:
+        q = np.array([1.0, x, y, z])
+        q = q / np.linalg.norm(q)
+        w, xi, yi, zi = q
+        R = np.array([
+            [1 - 2 * (yi * yi + zi * zi), 2 * (xi * yi - zi * w), 2 * (xi * zi + yi * w)],
+            [2 * (xi * yi + zi * w), 1 - 2 * (xi * xi + zi * zi), 2 * (yi * zi - xi * w)],
+            [2 * (xi * zi - yi * w), 2 * (yi * zi + xi * w), 1 - 2 * (xi * xi + yi * yi)]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        out.append(T)
+    return out
+
+
+class FullSystem:
+    """The complete LiDAR-assisted semi-direct visual odometry system."""
+
+    def __init__(self, calib: PyramidCalib, sensor: SensorCalib,
+                 settings: Settings | None = None):
+        self.calib = calib
+        self.sensor = sensor
+        self.s = settings or Settings()
+        s = self.s
+
+        self.w = calib.w[0]
+        self.h = calib.h[0]
+        self.levels = calib.levels
+        self.K0 = np.array(calib.intrinsics_vec(0), np.float32)
+        self.Ks = tuple(jnp.asarray(
+            [calib.fx[l], calib.fy[l], calib.cx[l], calib.cy[l]], jnp.float32)
+            for l in range(self.levels))
+
+        self.F = s.n_frames_cap
+        self.N = s.n_active_cap
+        self.M = s.n_immature_cap
+        F, N, M = self.F, self.N, self.M
+        D = 4 + 6 * F
+
+        # --- frame slots ---
+        self.slot_used = np.zeros(F, bool)
+        self.order: list[int] = []            # slots oldest -> newest
+        self.T_cw_fej = np.tile(np.eye(4), (F, 1, 1))
+        self.eps = np.zeros((F, 6))
+        self.aff = np.zeros((F, 2), np.float32)
+        self.exposure = np.ones(F, np.float32)
+        self.fe_th = np.full(F, 12.0 * 12.0 * 8.0, np.float32)
+        self.frame_prior = np.zeros((F, 6), np.float32)
+        self.frame_kf_id = np.full(F, -1, np.int64)
+        self.frame_shell_idx = np.full(F, -1, np.int64)
+        self.slot_flagged = np.zeros(F, bool)
+        self.slot_stats_out = np.zeros(F, np.int64)  # marginalized+dropped pts
+        self.dI0_stack = jnp.zeros((F, self.h, self.w, 3), jnp.float32)
+        self.pyr_slots: list = [None] * F     # per-slot pyramid tuples
+        self.flat_slots: list = [None] * F    # per-slot flattened pyramids
+
+        # --- active point pool ---
+        self.pt_valid = np.zeros(N, bool)
+        self.pt = dict(
+            u=np.zeros(N, np.float32), v=np.zeros(N, np.float32),
+            idepth=np.zeros(N, np.float32), host=np.zeros(N, np.int32),
+            color=np.zeros((N, 8), np.float32),
+            weights=np.zeros((N, 8), np.float32),
+            is_sensor=np.zeros(N, bool), type=np.zeros(N, np.int32),
+            prior=np.zeros(N, np.float32), quality=np.zeros(N, np.float32),
+            idepth_hessian=np.zeros(N, np.float32),
+            num_good_res=np.zeros(N, np.int64),
+        )
+        self.res_active = np.zeros((N, F), bool)
+        self.res_state = np.zeros((N, F), np.int8)
+        self.res_is_new = np.zeros((N, F), bool)
+        self.matcher_px = np.zeros((N, F, 2), np.float32)
+        self.matcher_valid = np.zeros((N, F), bool)
+        self.centers = np.zeros((N, F, 3), np.float32)
+
+        # --- immature point pool ---
+        self.im_valid = np.zeros(M, bool)
+        self.im = dict(
+            u=np.zeros(M, np.float32), v=np.zeros(M, np.float32),
+            idepth_min=np.zeros(M, np.float32),
+            idepth_max=np.full(M, np.inf, np.float32),
+            host=np.zeros(M, np.int32),
+            status=np.full(M, trace_ops.IPS_UNINITIALIZED, np.int32),
+            quality=np.full(M, 10000.0, np.float32),
+            color=np.zeros((M, 8), np.float32),
+            weights=np.zeros((M, 8), np.float32),
+            gradH=np.zeros((M, 3), np.float32),
+            energy_th=np.full(M, 8 * 144.0, np.float32),
+            is_sensor=np.zeros(M, bool),
+            pixel_interval=np.zeros(M, np.float32),
+            my_type=np.ones(M, np.float32),
+            type=np.zeros(M, np.int32),
+        )
+
+        # --- marginalization prior ---
+        self.HM = np.zeros((D, D))
+        self.bM = np.zeros(D)
+
+        # --- shells (per input frame) ---
+        self.shells: list[dict] = []
+        self.kf_shells: list[int] = []        # indices into self.shells
+
+        # tracker state
+        self.track_ref = None                 # build_track_ref pools
+        self.track_ref_slot = -1
+        self.track_ref_aff = np.zeros(2, np.float32)
+        self.first_coarse_rmse = -1.0
+        self.last_coarse_rmse = np.full(5, 100.0)
+        self.current_min_act_dist = 2.0
+        self.pot_state = {"pot": 3}
+        self.ignore_kf = False
+
+        self.initialized = False
+        self.is_lost = False
+        self.init_failed = False
+        self._first_frame = None
+        self._rng_key = jax.random.PRNGKey(s.seed)
+
+        self._lidar_cap = s.n_lidar_cand_cap * 8  # raw cloud capacity
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self._rng_key, k = jax.random.split(self._rng_key)
+        return k
+
+    @property
+    def T_cw(self) -> np.ndarray:
+        """(F, 4, 4) current worldToCam per slot: exp(eps) * T_fej."""
+        return np.asarray(se3.se3_exp(jnp.asarray(self.eps))) @ self.T_cw_fej
+
+    def _preprocess(self, cloud: np.ndarray):
+        cap = self._lidar_cap
+        buf = np.zeros((cap, 3), np.float32)
+        n = min(cloud.shape[0], cap)
+        buf[:n] = cloud[:n]
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+        out = lidar_ops.preprocess_scan(
+            jnp.asarray(buf), jnp.asarray(mask),
+            jnp.asarray(self.sensor.R_cl, jnp.float32),
+            jnp.asarray(self.sensor.t_cl, jnp.float32),
+            float(self.K0[0]), float(self.K0[1]), float(self.K0[2]),
+            float(self.K0[3]), self.w, self.h)
+        return out
+
+    def _lidar_bbox_area(self, depth_map: np.ndarray) -> float:
+        vs, us = np.nonzero(depth_map > 0)
+        if us.size < 2:
+            return 1.0
+        return float((us.max() - us.min()) * (vs.max() - vs.min()))
+
+    def _free_pt_rows(self, n):
+        free = np.nonzero(~self.pt_valid)[0]
+        return free[:n]
+
+    def _free_im_rows(self, n):
+        free = np.nonzero(~self.im_valid)[0]
+        return free[:n]
+
+    # ------------------------------------------------------------------
+    # main entry (addActiveFrame)
+    # ------------------------------------------------------------------
+
+    def add_active_frame(self, image: np.ndarray, cloud: np.ndarray,
+                         timestamp: float):
+        if self.is_lost:
+            # keep recording shells with the last pose so the trajectory
+            # stays dense (reference stops processing, FullSystem.cpp:824)
+            last = self.shells[-1]["T_wc"] if self.shells else np.eye(4)
+            self.shells.append(dict(id=len(self.shells), timestamp=timestamp,
+                                    T_wc=last.copy(), aff=np.zeros(2),
+                                    is_kf=False))
+            return
+
+        dI, abs_grad = make_images(jnp.asarray(image, jnp.float32),
+                                   self.levels)
+        scan = self._preprocess(cloud)
+
+        shell = dict(id=len(self.shells), timestamp=timestamp,
+                     T_wc=np.eye(4), aff=np.zeros(2), is_kf=False)
+        self.shells.append(shell)
+
+        frame = dict(dI=dI, abs_grad=abs_grad, scan=scan, shell=shell,
+                     exposure=1.0)
+
+        if not self.initialized:
+            # first frame: stash as the initializer frame (setFirstFromLidar)
+            self._first_frame = frame
+            self.initialized = True
+            return
+
+        if len(self.shells) == 2:
+            self._initialize_from_initializer()
+
+        ok = self._track_new_coarse(frame)
+        if not ok:
+            print("Initial tracking failed: LOST!")
+            self.is_lost = True
+            return
+
+        need_kf = self._keyframe_decision(frame)
+        if need_kf or len(self.kf_shells) < 2:
+            self._make_key_frame(frame)
+        else:
+            self._make_non_key_frame(frame)
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _initialize_from_initializer(self):
+        """Insert the first frame as KF0 with LiDAR-depth active points
+        (CoarseInitializer::setFirstFromLidar + initializeFromInitializer)."""
+        fr = self._first_frame
+        scan = fr["scan"]
+        depth_map = np.asarray(scan["depth_map"])
+        cand = depth_map > 0
+
+        lidar_area = self._lidar_bbox_area(depth_map)
+        density = 0.03 * lidar_area  # densities[0] (CoarseInitializer.cpp:780)
+        status, n_sel = make_maps(fr["dI"][0], fr["abs_grad"],
+                                  jnp.asarray(cand), density,
+                                  self._next_key(), {"pot": 3}, self.s)
+        ys, xs = np.nonzero(status)
+        # keepPercentage subsampling toward the active density target
+        keep_p = min(1.0, self.s.desired_point_density / max(len(xs), 1))
+        rng = np.random.default_rng(self.s.seed)
+        keep = rng.random(len(xs)) <= keep_p
+        xs, ys = xs[keep], ys[keep]
+        n = min(len(xs), self.N)
+        xs, ys = xs[:n], ys[:n]
+
+        slot = self._insert_frame_slot(fr, kf_id=0)
+        # first-frame gauge prior (getPrior: initialRot/TransPrior)
+        self.frame_prior[slot] = np.array([1e10] * 3 + [1e11] * 3)
+
+        col, wgt, gradH, finite = trace_ops.pattern_colors(
+            fr["dI"][0], jnp.asarray(xs, jnp.float32),
+            jnp.asarray(ys, jnp.float32))
+        finite = np.asarray(finite)
+        z = depth_map[ys, xs]
+        good = finite & (z > 0)
+        rows = self._free_pt_rows(int(good.sum()))
+        sel = np.nonzero(good)[0][:len(rows)]
+
+        q = np.asarray(jnp.linalg.norm(fr["dI"][0][ys, xs, 1:], axis=-1))
+        self.pt_valid[rows] = True
+        self.pt["u"][rows] = xs[sel]
+        self.pt["v"][rows] = ys[sel]
+        self.pt["idepth"][rows] = 1.0 / z[sel]
+        self.pt["host"][rows] = slot
+        self.pt["color"][rows] = np.asarray(col)[sel]
+        self.pt["weights"][rows] = np.asarray(wgt)[sel]
+        self.pt["is_sensor"][rows] = True
+        self.pt["type"][rows] = CORNER
+        self.pt["prior"][rows] = self.s.idepth_fix_prior  # hasDepthPrior
+        self.pt["quality"][rows] = q[sel]
+        self.res_active[rows, :] = False
+        self.matcher_valid[rows, :] = False
+
+        fr["shell"]["is_kf"] = True
+        self.kf_shells.append(fr["shell"]["id"])
+
+        # first-frame coarse tracking reference (setCTRefForFirstFrame)
+        self._build_track_ref_first_frame(slot)
+
+    def _build_track_ref_first_frame(self, slot):
+        m = self.pt_valid & (self.pt["host"] == slot)
+        u = np.round(self.pt["u"][m] + 0.5).astype(np.int32)
+        v = np.round(self.pt["v"][m] + 0.5).astype(np.int32)
+        weight = np.full(m.sum(), np.sqrt(1e-3 / 1e-12), np.float32)
+        id0, w0 = splat_idepth(jnp.asarray(u), jnp.asarray(v),
+                               jnp.asarray(self.pt["idepth"][m]),
+                               jnp.asarray(weight),
+                               jnp.ones(m.sum(), bool), self.w, self.h)
+        self.track_ref = build_track_ref(self.pyr_slots[slot], id0, w0,
+                                         self.levels)
+        self.track_ref_slot = slot
+        self.track_ref_aff = self.aff[slot].copy()
+        self.first_coarse_rmse = -1.0
+
+    # ------------------------------------------------------------------
+    # tracking
+    # ------------------------------------------------------------------
+
+    def _motion_hypotheses(self):
+        """Pose-initialization try list (trackNewCoarse:341-398).
+
+        Returns list of (4,4) lastF->fh transforms."""
+        ref_shell = self.shells[self.frame_shell_idx[self.track_ref_slot]]
+        tries = []
+        if len(self.shells) == 2:
+            tries.append(np.eye(4))
+            for rd in (0.02, 0.04):
+                for R in _rotation_ladder(rd):
+                    tries.append(R)
+            return tries
+        slast = self.shells[-2]
+        sprelast = self.shells[-3]
+        T_s2sp = np.linalg.inv(sprelast["T_wc"]) @ slast["T_wc"]
+        T_lastF2s = np.linalg.inv(slast["T_wc"]) @ ref_shell["T_wc"]
+        fh_2_slast = T_s2sp
+        inv = np.linalg.inv
+        tries.append(inv(fh_2_slast) @ T_lastF2s)                    # const
+        tries.append(inv(fh_2_slast) @ inv(fh_2_slast) @ T_lastF2s)  # double
+        half = np.asarray(se3.se3_exp(
+            se3.se3_log(jnp.asarray(fh_2_slast)) * 0.5))
+        tries.append(inv(half) @ T_lastF2s)                          # half
+        tries.append(T_lastF2s)                                      # zero
+        tries.append(np.eye(4))                                      # zero from KF
+        for R in _rotation_ladder(0.02):
+            tries.append(inv(fh_2_slast) @ T_lastF2s @ R)
+        return tries
+
+    def _track_new_coarse(self, frame) -> bool:
+        tries = self._motion_hypotheses()
+        aff_last = self.shells[-2]["aff"].copy() if len(self.shells) >= 2 \
+            else np.zeros(2)
+
+        achieved = np.full(5, np.nan)
+        best = None
+        have_good = False
+        coarsest = self.levels - 1
+        for i, T_try in enumerate(tries):
+            out = track_pyramid(
+                self.track_ref, frame["dI"], self.Ks,
+                jnp.asarray(T_try, jnp.float32),
+                jnp.asarray(aff_last, jnp.float32),
+                jnp.asarray(self.track_ref_aff, jnp.float32),
+                jnp.asarray([1.0, 1.0], jnp.float32),
+                jnp.asarray(np.nan_to_num(achieved, nan=np.inf), jnp.float32),
+                self.s.coarse_cutoff_th, self.s.huber_th,
+                coarsest_lvl=coarsest)
+            res = np.asarray(out["res"], np.float64)
+            ok = bool(out["ok"]) and np.isfinite(res[0])
+            if ok and not (res[0] >= achieved[0]):
+                best = (np.asarray(out["T"], np.float64),
+                        np.asarray(out["aff"], np.float64),
+                        np.asarray(out["flow"], np.float64))
+                have_good = True
+            if have_good:
+                upd = ~np.isfinite(achieved[:coarsest + 1]) | \
+                    (achieved[:coarsest + 1] > res[:coarsest + 1])
+                achieved[:coarsest + 1][upd] = res[:coarsest + 1][upd]
+            if have_good and achieved[0] < self.last_coarse_rmse[0] * \
+                    self.s.re_track_threshold:
+                break
+
+        if not have_good:
+            best = (tries[0], aff_last, np.zeros(3))
+        self.last_coarse_rmse = achieved.copy()
+        T_lastF_2_fh, aff_fh, flow = best
+        if not np.all(np.isfinite(T_lastF_2_fh)):
+            return False
+
+        ref_shell = self.shells[self.frame_shell_idx[self.track_ref_slot]]
+        shell = frame["shell"]
+        shell["aff"] = np.asarray(aff_fh)
+        shell["T_wc"] = ref_shell["T_wc"] @ np.linalg.inv(T_lastF_2_fh)
+        shell["tracking_ref"] = ref_shell["id"]
+
+        # --- stage 2: struct (reprojection) pose refinement ---
+        matched = self._match_into(frame, shell["T_wc"], shell["aff"])
+        if matched is not None:
+            m, px, pw = matched
+            if m.sum() >= 10:
+                out = struct_pose_estimate(
+                    jnp.asarray(shell["T_wc"], jnp.float32),
+                    jnp.asarray(pw, jnp.float32), jnp.asarray(px, jnp.float32),
+                    jnp.asarray(m),
+                    jnp.asarray(self.K0), self.w, self.h)
+                T_new = np.asarray(out["T_cur_to_world"], np.float64)
+                if np.all(np.isfinite(T_new)):
+                    shell["T_wc"] = T_new
+
+        if self.first_coarse_rmse < 0:
+            self.first_coarse_rmse = achieved[0]
+        frame["flow"] = flow
+        frame["track_rmse"] = achieved[0]
+        return np.isfinite(flow).all() and np.isfinite(achieved[0])
+
+    def _match_into(self, frame, T_wc_target, aff_target,
+                    host_filter=None, target_slot=None):
+        """Run the Reprojector against a target frame.
+
+        Returns (matched (N,), px (N,2), world_pts (N,3)) or None."""
+        if not self.pt_valid.any():
+            return None
+        flat, offs, ws, hs = flatten_pyramid(frame["dI"])
+        valid = self.pt_valid.copy()
+        if host_filter is not None:
+            valid &= host_filter
+
+        n_window = len(self.order)
+        ref_idx = self.pt["host"].copy()
+        if n_window <= 2 and n_window == 2:
+            # findMatchDirect:242-252 special case
+            a, b = self.order[0], self.order[1]
+            if target_slot == a:
+                ref_idx[:] = b
+            elif target_slot == b:
+                ref_idx[:] = a
+            else:
+                ref_idx[:] = a
+
+        T_cw = self.T_cw
+        T_wc_stack = np.linalg.inv(T_cw)
+        out = reproject_and_match(
+            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+            jnp.asarray(self.pt["type"]), jnp.asarray(valid),
+            jnp.asarray(self.pt["quality"]),
+            jnp.asarray(T_wc_stack, jnp.float32),
+            jnp.asarray(self.aff), jnp.asarray(self.exposure),
+            self.dI0_stack, flat, offs, ws, hs,
+            jnp.asarray(T_wc_target, jnp.float32),
+            jnp.asarray(aff_target, jnp.float32), jnp.float32(1.0),
+            jnp.asarray(self.K0), jnp.asarray(ref_idx),
+            w=self.w, h=self.h, max_level=self.levels - 1)
+        m = np.asarray(out["matched"])
+        px = np.asarray(out["px"])
+        # world points
+        xn = (self.pt["u"] - self.K0[2]) / self.K0[0]
+        yn = (self.pt["v"] - self.K0[3]) / self.K0[1]
+        pr = np.stack([xn, yn, np.ones_like(xn)], -1) / \
+            np.maximum(self.pt["idepth"], 1e-9)[:, None]
+        T_wc_h = T_wc_stack[self.pt["host"]]
+        pw = np.einsum("nij,nj->ni", T_wc_h[:, :3, :3], pr) + T_wc_h[:, :3, 3]
+        return m, px, pw
+
+    def _keyframe_decision(self, frame) -> bool:
+        s = self.s
+        flow = frame["flow"]
+        aff_fh = frame["shell"]["aff"]
+        a_rel = np.exp(aff_fh[0] - self.track_ref_aff[0])
+        wsum = (s.kf_global_weight * s.max_shift_weight_t
+                * np.sqrt(max(flow[0], 0)) / (self.w + self.h)
+                + s.kf_global_weight * s.max_shift_weight_r
+                * np.sqrt(max(flow[1], 0)) / (self.w + self.h)
+                + s.kf_global_weight * s.max_shift_weight_rt
+                * np.sqrt(max(flow[2], 0)) / (self.w + self.h)
+                + s.kf_global_weight * s.max_affine_weight
+                * abs(np.log(max(a_rel, 1e-9))))
+        need = wsum > 1.0 or \
+            2 * self.first_coarse_rmse < frame["track_rmse"]
+        if self.ignore_kf and self.kf_shells:
+            last_kf_t = self.shells[self.kf_shells[-1]]["timestamp"]
+            if frame["shell"]["timestamp"] - last_kf_t <= 0.15:
+                need = False
+        return bool(need)
+
+    # ------------------------------------------------------------------
+    # non-keyframe
+    # ------------------------------------------------------------------
+
+    def _make_non_key_frame(self, frame):
+        self._trace_new_coarse(frame)
+
+    def _trace_new_coarse(self, frame):
+        """Trace all immature points into the new frame (traceNewCoarse)."""
+        if not self.im_valid.any():
+            return
+        Km = np.eye(3)
+        Km[0, 0], Km[1, 1] = self.K0[0], self.K0[1]
+        Km[0, 2], Km[1, 2] = self.K0[2], self.K0[3]
+        Kim = np.linalg.inv(Km)
+        T_cw = self.T_cw
+        T_new_cw = np.linalg.inv(frame["shell"]["T_wc"])
+        KRKi = np.zeros((self.F, 3, 3), np.float32)
+        Kt = np.zeros((self.F, 3), np.float32)
+        affp = np.tile(np.array([1.0, 0.0], np.float32), (self.F, 1))
+        for slot in self.order:
+            T_h2n = T_new_cw @ np.linalg.inv(T_cw[slot])
+            KRKi[slot] = Km @ T_h2n[:3, :3] @ Kim
+            Kt[slot] = Km @ T_h2n[:3, 3]
+            a = np.exp(frame["shell"]["aff"][0] - self.aff[slot][0])
+            affp[slot] = [a, frame["shell"]["aff"][1] - a * self.aff[slot][1]]
+
+        im = self.im
+        out = trace_ops.trace_points(
+            jnp.asarray(im["u"]), jnp.asarray(im["v"]),
+            jnp.asarray(im["idepth_min"]), jnp.asarray(im["idepth_max"]),
+            jnp.asarray(np.where(self.im_valid, im["status"],
+                                 trace_ops.IPS_OOB)),
+            jnp.asarray(im["quality"]), jnp.asarray(im["color"]),
+            jnp.asarray(im["weights"]), jnp.asarray(im["gradH"]),
+            jnp.asarray(im["energy_th"]), jnp.asarray(im["host"]),
+            jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affp),
+            frame["dI"][0], w=self.w, h=self.h,
+            max_pix_search_frac=self.s.max_pix_search,
+            huber_th=self.s.huber_th)
+        upd = self.im_valid & (~im["is_sensor"])
+        for k_src, k_dst in (("idepth_min", "idepth_min"),
+                             ("idepth_max", "idepth_max"),
+                             ("quality", "quality"),
+                             ("pixel_interval", "pixel_interval")):
+            arr = np.asarray(out[k_src])
+            im[k_dst][upd] = arr[upd]
+        st = np.asarray(out["status"])
+        im["status"][upd] = st[upd]
+
+    # ------------------------------------------------------------------
+    # keyframe pipeline
+    # ------------------------------------------------------------------
+
+    def _insert_frame_slot(self, frame, kf_id):
+        free = np.nonzero(~self.slot_used)[0]
+        assert free.size > 0, "window slots exhausted"
+        slot = int(free[0])
+        self.slot_used[slot] = True
+        self.order.append(slot)
+        T_cw = np.linalg.inv(frame["shell"]["T_wc"])
+        self.T_cw_fej[slot] = T_cw
+        self.eps[slot] = 0.0
+        self.aff[slot] = frame["shell"]["aff"]
+        self.exposure[slot] = frame.get("exposure", 1.0)
+        self.frame_prior[slot] = 0.0
+        self.frame_kf_id[slot] = kf_id
+        self.frame_shell_idx[slot] = frame["shell"]["id"]
+        self.slot_flagged[slot] = False
+        self.slot_stats_out[slot] = 0
+        self.dI0_stack = self.dI0_stack.at[slot].set(frame["dI"][0])
+        self.pyr_slots[slot] = frame["dI"]
+        self.flat_slots[slot] = flatten_pyramid(frame["dI"])
+        self.fe_th[slot] = self.fe_th[self.order[-2]] if len(self.order) > 1 \
+            else 12.0 * 12.0 * 8.0
+        return slot
+
+    def _make_key_frame(self, frame):
+        self._trace_new_coarse(frame)
+        self._flag_frames_for_marginalization()
+
+        # low-speed KF suppression (makeKeyFrame:1057-1070)
+        if len(self.kf_shells) >= 2:
+            s1 = self.shells[self.kf_shells[-1]]
+            s2 = self.shells[self.kf_shells[-2]]
+            dt = s1["timestamp"] - s2["timestamp"]
+            if dt > 0:
+                speed = np.linalg.norm(s1["T_wc"][:3, 3] - s2["T_wc"][:3, 3]) / dt
+                self.ignore_kf = speed < 10.0
+        kf_id = len(self.kf_shells)
+        slot = self._insert_frame_slot(frame, kf_id)
+        frame["shell"]["is_kf"] = True
+        self.kf_shells.append(frame["shell"]["id"])
+
+        self._make_new_traces(frame, slot)
+
+        # residuals: every existing active point x new frame
+        pts_m = self.pt_valid & (self.pt["host"] != slot)
+        self.res_active[pts_m, slot] = True
+        self.res_state[pts_m, slot] = backend.RES_IN
+        self.res_is_new[pts_m, slot] = True
+        self.matcher_valid[pts_m, slot] = False
+
+        self._activate_points(frame, slot)
+        self._refresh_matcher(frame, slot)
+        self._optimize_window(slot)
+        if self.is_lost:
+            return
+        self._remove_outliers()
+        self._set_coarse_tracking_ref(slot)
+        self._flag_points_for_removal_and_marginalize(slot)
+        self._marginalize_frames()
+
+    def _flag_frames_for_marginalization(self):
+        """flagFramesForMarginalization (FullSystemMarginalize.cpp:25-94)."""
+        s = self.s
+        n_window = len(self.order)
+        flagged = 0
+        for slot in self.order:
+            n_in = int((self.pt_valid & (self.pt["host"] == slot)).sum()
+                       + (self.im_valid & (self.im["host"] == slot)).sum())
+            n_out = int(self.slot_stats_out[slot])
+            a_rel = np.exp(self.aff[self.order[-1]][0] - self.aff[slot][0])
+            if ((n_in < s.min_points_remaining * (n_in + n_out)
+                 or abs(np.log(max(a_rel, 1e-9))) > s.max_log_aff_fac_in_window)
+                    and n_window - flagged > s.min_frames):
+                self.slot_flagged[slot] = True
+                flagged += 1
+        if n_window - flagged >= s.max_frames:
+            # distance-score heuristic
+            latest_id = self.frame_kf_id[self.order[-1]]
+            T_cw = self.T_cw
+            best_score, best_slot = 1.0, None
+            for slot in self.order:
+                fid = self.frame_kf_id[slot]
+                if fid > latest_id - s.min_frame_age or fid == 0:
+                    continue
+                dist_score = 0.0
+                for slot2 in self.order:
+                    fid2 = self.frame_kf_id[slot2]
+                    if fid2 > latest_id - s.min_frame_age + 1 or slot2 == slot:
+                        continue
+                    d = np.linalg.norm(T_cw[slot][:3, 3] - T_cw[slot2][:3, 3])
+                    dist_score += 1.0 / (1e-5 + d)
+                d_latest = np.linalg.norm(
+                    T_cw[slot][:3, 3] - T_cw[self.order[-1]][:3, 3])
+                dist_score *= -np.sqrt(d_latest)
+                if dist_score < best_score:
+                    best_score, best_slot = dist_score, slot
+            if best_slot is not None:
+                self.slot_flagged[best_slot] = True
+
+    def _make_new_traces(self, frame, slot):
+        """Point selection + immature point creation (makeNewTraces)."""
+        scan = frame["scan"]
+        depth_map = np.asarray(scan["depth_map"])
+        cand = depth_map > 0
+        lidar_area = self._lidar_bbox_area(depth_map)
+        img_area = self.w * self.h
+        density = (lidar_area / img_area) * self.s.desired_immature_density
+
+        status, n_lidar = make_maps(frame["dI"][0], frame["abs_grad"],
+                                    jnp.asarray(cand), density,
+                                    self._next_key(), self.pot_state, self.s)
+        ys, xs = np.nonzero(status)
+        z = depth_map[ys, xs]
+
+        # optional monocular points when the scene is ground-dominated
+        mxs = mys = np.zeros(0, int)
+        if bool(np.asarray(scan["add_feature_point"])):
+            mstatus, _ = make_maps(frame["dI"][0], frame["abs_grad"],
+                                   jnp.ones((self.h, self.w), bool),
+                                   self.s.desired_immature_density,
+                                   self._next_key(), self.pot_state, self.s)
+            # suppress around selected LiDAR points (setMask: ±pot in x, ±1 in y)
+            mask = np.zeros((self.h, self.w), bool)
+            pot = self.pot_state.get("pot", 3)
+            for dx in range(-pot, pot + 1):
+                xs2 = np.clip(xs + dx, 0, self.w - 1)
+                for dy in (-1, 0, 1):
+                    ys2 = np.clip(ys + dy, 0, self.h - 1)
+                    mask[ys2, xs2] = True
+            mys, mxs = np.nonzero(np.asarray(mstatus) & ~mask)
+
+        all_u = np.concatenate([xs, mxs]).astype(np.float32)
+        all_v = np.concatenate([ys, mys]).astype(np.float32)
+        n_sens = len(xs)
+        if all_u.size == 0:
+            return
+        col, wgt, gradH, finite = trace_ops.pattern_colors(
+            frame["dI"][0], jnp.asarray(all_u), jnp.asarray(all_v))
+        finite = np.asarray(finite)
+        score = np.asarray(shi_tomasi(frame["dI"][0], jnp.asarray(all_u),
+                                      jnp.asarray(all_v)))
+        max_score = score[:n_sens].max() if n_sens else 1.0
+
+        good = finite.copy()
+        rows = self._free_im_rows(int(good.sum()))
+        sel = np.nonzero(good)[0][:len(rows)]
+        im = self.im
+        self.im_valid[rows] = True
+        im["u"][rows] = all_u[sel]
+        im["v"][rows] = all_v[sel]
+        im["host"][rows] = slot
+        im["color"][rows] = np.asarray(col)[sel]
+        im["weights"][rows] = np.asarray(wgt)[sel]
+        im["gradH"][rows] = np.asarray(gradH)[sel]
+        im["energy_th"][rows] = 8 * self.s.outlier_th
+        im["quality"][rows] = 10000.0
+        im["pixel_interval"][rows] = 0.0
+        is_sens = sel < n_sens
+        im["is_sensor"][rows] = is_sens
+        zsel = np.concatenate([z, np.zeros(len(mxs))])[sel]
+        idep = np.where(zsel > 0, 1.0 / np.maximum(zsel, 1e-6), 0.0)
+        im["idepth_min"][rows] = np.where(is_sens, idep, 0.0)
+        im["idepth_max"][rows] = np.where(is_sens, idep, np.inf)
+        im["status"][rows] = np.where(is_sens, trace_ops.IPS_SKIPPED,
+                                      trace_ops.IPS_UNINITIALIZED)
+        # CORNER/EDGELET split by Shi-Tomasi (makeNewTraces:1330-1338);
+        # monocular points default to CORNER
+        sc = score[sel]
+        im["type"][rows] = np.where(is_sens & (sc <= 0.01 * max_score),
+                                    EDGELET, CORNER)
+        im["my_type"][rows] = 1.0
+
+    def _activate_points(self, frame, newest_slot):
+        """activatePointsMT (FullSystem.cpp:569-723)."""
+        s = self.s
+        n_pts = int(self.pt_valid.sum())
+        # density-controlled activation distance
+        d = self.current_min_act_dist
+        t = s.desired_point_density
+        if n_pts < t * 0.66:
+            d -= 0.8
+        if n_pts < t * 0.8:
+            d -= 0.5
+        elif n_pts < t * 0.9:
+            d -= 0.2
+        elif n_pts < t:
+            d -= 0.1
+        if n_pts > t * 1.5:
+            d += 0.8
+        if n_pts > t * 1.3:
+            d += 0.5
+        if n_pts > t * 1.15:
+            d += 0.2
+        if n_pts > t:
+            d += 0.1
+        self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
+
+        # distance map on level-1 grid from projected active points
+        T_cw = self.T_cw
+        T_new = T_cw[newest_slot]
+        w1, h1 = self.calib.w[1], self.calib.h[1]
+        K1 = np.eye(3)
+        K1[0, 0], K1[1, 1] = self.calib.fx[1], self.calib.fy[1]
+        K1[0, 2], K1[1, 2] = self.calib.cx[1], self.calib.cy[1]
+        K0i = np.linalg.inv(np.array(
+            [[self.K0[0], 0, self.K0[2]], [0, self.K0[1], self.K0[3]],
+             [0, 0, 1]]))
+        pu = np.zeros(self.N, np.int32)
+        pv = np.zeros(self.N, np.int32)
+        pvalid = np.zeros(self.N, bool)
+        for slot in self.order:
+            if slot == newest_slot:
+                continue
+            m = self.pt_valid & (self.pt["host"] == slot)
+            if not m.any():
+                continue
+            T_h2n = T_new @ np.linalg.inv(T_cw[slot])
+            KRKi = K1 @ T_h2n[:3, :3] @ K0i
+            Kt = K1 @ T_h2n[:3, 3]
+            p = np.stack([self.pt["u"][m], self.pt["v"][m],
+                          np.ones(m.sum())], -1)
+            ptp = p @ KRKi.T + Kt * self.pt["idepth"][m][:, None]
+            uu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(np.int32)
+            vv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(np.int32)
+            idx = np.nonzero(m)[0]
+            pu[idx] = uu
+            pv[idx] = vv
+            pvalid[idx] = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+        dmap = np.asarray(distance_map(jnp.asarray(pu), jnp.asarray(pv),
+                                       jnp.asarray(pvalid), w1, h1))
+
+        im = self.im
+        imv = self.im_valid
+        # mono points hosted in the newest KF are not activated yet
+        eligible = imv & ~((~im["is_sensor"]) & (im["host"] == newest_slot))
+        # delete never-traced / outlier points
+        dead = eligible & (~np.isfinite(im["idepth_max"])
+                           | (im["status"] == trace_ops.IPS_OUTLIER))
+        # count removals against host frames
+        for slot in self.order:
+            self.slot_stats_out[slot] += int((dead & (im["host"] == slot)).sum())
+        self.im_valid[dead] = False
+        eligible &= ~dead
+
+        can = (np.isin(im["status"], [trace_ops.IPS_GOOD,
+                                      trace_ops.IPS_SKIPPED,
+                                      trace_ops.IPS_BADCONDITION,
+                                      trace_ops.IPS_OOB])
+               & (im["pixel_interval"] < 8)
+               & (im["quality"] > s.min_trace_quality)
+               & ((im["idepth_max"] + im["idepth_min"]) > 0))
+        cannot = eligible & ~can
+        kill = cannot & (self.slot_flagged[im["host"]]
+                         | (im["status"] == trace_ops.IPS_OOB))
+        for slot in self.order:
+            self.slot_stats_out[slot] += int((kill & (im["host"] == slot)).sum())
+        self.im_valid[kill] = False
+        cand = eligible & can
+
+        # spread test via the distance map
+        if cand.any():
+            idx = np.nonzero(cand)[0]
+            mid = 0.5 * (np.clip(im["idepth_max"][idx], 0, 1e6)
+                         + im["idepth_min"][idx])
+            keep = np.zeros(len(idx), bool)
+            for slot in self.order:
+                mm = im["host"][idx] == slot
+                if not mm.any():
+                    continue
+                T_h2n = T_new @ np.linalg.inv(T_cw[slot])
+                KRKi = K1 @ T_h2n[:3, :3] @ K0i
+                Kt = K1 @ T_h2n[:3, 3]
+                p = np.stack([im["u"][idx[mm]], im["v"][idx[mm]],
+                              np.ones(mm.sum())], -1)
+                ptp = p @ KRKi.T + Kt * mid[mm][:, None]
+                uu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(np.int32)
+                vv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(np.int32)
+                inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
+                dist = np.where(inb, dmap[np.clip(vv, 0, h1 - 1),
+                                          np.clip(uu, 0, w1 - 1)]
+                                + (ptp[:, 0] - np.floor(ptp[:, 0])), -1)
+                my_type = im["my_type"][idx[mm]]
+                k = inb & (dist >= self.current_min_act_dist * my_type)
+                keep[np.nonzero(mm)[0][k]] = True
+                # out-of-level-1 points are deleted (activatePointsMT:714-718)
+                drop = ~inb
+                self.im_valid[idx[mm][drop]] = False
+            idx = idx[keep]
+        else:
+            idx = np.zeros(0, int)
+
+        if idx.size == 0:
+            return
+
+        # batched activation GN
+        T_cw_f = self.T_cw
+        F = self.F
+        R_pair = np.zeros((F * F, 3, 3), np.float32)
+        t_pair = np.zeros((F * F, 3), np.float32)
+        aff_pair = np.tile(np.array([1.0, 0.0], np.float32), (F * F, 1))
+        for hslot in range(F):
+            for tslot in range(F):
+                p = hslot * F + tslot
+                if self.slot_used[hslot] and self.slot_used[tslot]:
+                    T_ht = T_cw_f[tslot] @ np.linalg.inv(T_cw_f[hslot])
+                    R_pair[p] = T_ht[:3, :3]
+                    t_pair[p] = T_ht[:3, 3]
+                    a = np.exp(self.aff[tslot][0] - self.aff[hslot][0])
+                    aff_pair[p] = [a, self.aff[tslot][1] - a * self.aff[hslot][1]]
+                else:
+                    R_pair[p] = np.eye(3)
+
+        cap = min(idx.size, self.N)
+        idx = idx[:cap]
+        id_init = 0.5 * (np.clip(im["idepth_max"][idx], 0, 1e6)
+                         + im["idepth_min"][idx])
+        out = trace_ops.activate_points(
+            jnp.asarray(im["u"][idx]), jnp.asarray(im["v"][idx]),
+            jnp.asarray(id_init, jnp.float32),
+            jnp.asarray(im["color"][idx]), jnp.asarray(im["weights"][idx]),
+            jnp.asarray(im["host"][idx]), jnp.asarray(im["is_sensor"][idx]),
+            jnp.ones(idx.size, bool), jnp.asarray(self.slot_used),
+            jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
+            self.dI0_stack, jnp.asarray(self.K0),
+            jnp.asarray(im["energy_th"][idx]),
+            w=self.w, h=self.h, n_frames=F,
+            min_idepth_h_act=s.min_idepth_h_act, min_obs=1,
+            gn_iters=s.gn_its_on_point_activation)
+        success = np.asarray(out["success"])
+        new_idepth = np.asarray(out["idepth"])
+        inlier_t = np.asarray(out["inlier_targets"])
+
+        ok_idx = idx[success]
+        rows = self._free_pt_rows(ok_idx.size)
+        ok_idx = ok_idx[:rows.size]
+        if rows.size:
+            g = np.asarray(jnp.linalg.norm(
+                self.dI0_stack[jnp.asarray(im["host"][ok_idx]),
+                               jnp.asarray(np.clip(im["v"][ok_idx].astype(int),
+                                                   0, self.h - 1)),
+                               jnp.asarray(np.clip(im["u"][ok_idx].astype(int),
+                                                   0, self.w - 1)), 1:],
+                axis=-1))
+            self.pt_valid[rows] = True
+            self.pt["u"][rows] = im["u"][ok_idx]
+            self.pt["v"][rows] = im["v"][ok_idx]
+            self.pt["idepth"][rows] = new_idepth[success][:rows.size]
+            self.pt["host"][rows] = im["host"][ok_idx]
+            self.pt["color"][rows] = im["color"][ok_idx]
+            self.pt["weights"][rows] = im["weights"][ok_idx]
+            self.pt["is_sensor"][rows] = im["is_sensor"][ok_idx]
+            self.pt["type"][rows] = im["type"][ok_idx]
+            self.pt["prior"][rows] = 0.0
+            self.pt["quality"][rows] = g
+            self.pt["num_good_res"][rows] = 0
+            self.res_active[rows, :] = False
+            self.res_state[rows, :] = backend.RES_IN
+            self.res_is_new[rows, :] = False
+            self.matcher_valid[rows, :] = False
+            inl = inlier_t[success][:rows.size]
+            for slot in self.order:
+                tm = inl[:, slot] & self.slot_used[slot] & \
+                    (im["host"][ok_idx] != slot)
+                self.res_active[rows[tm], slot] = True
+                self.res_is_new[rows[tm], slot] = True
+
+        # activated or failed-with--1: remove from immature pool
+        self.im_valid[idx[success]] = False
+        failed = ~success
+        # failure == reference returning (-1): drop
+        self.im_valid[idx[failed]] = False
+        for slot in self.order:
+            self.slot_stats_out[slot] += int((im["host"][idx[failed]] == slot).sum())
+
+    def _refresh_matcher(self, frame, newest_slot):
+        """backprojectMap passes at KF time (makeKeyFrame:1105-1131)."""
+        # old points -> new frame
+        hf = self.pt_valid & (self.pt["host"] != newest_slot)
+        res = self._match_into(frame, np.linalg.inv(self.T_cw[newest_slot]),
+                               self.aff[newest_slot], host_filter=hf,
+                               target_slot=newest_slot)
+        if res is not None:
+            m, px, _ = res
+            upd = m & hf
+            self.matcher_px[upd, newest_slot] = px[upd]
+            self.matcher_valid[upd, newest_slot] = True
+        # new frame's points -> each older frame
+        nf = self.pt_valid & (self.pt["host"] == newest_slot)
+        if nf.any():
+            T_wc = np.linalg.inv(self.T_cw)
+            for slot in self.order[:-1]:
+                fr = dict(dI=self.pyr_slots[slot])
+                res = self._match_into(fr, T_wc[slot], self.aff[slot],
+                                       host_filter=nf, target_slot=slot)
+                if res is None:
+                    continue
+                m, px, _ = res
+                upd = m & nf
+                self.matcher_px[upd, slot] = px[upd]
+                self.matcher_valid[upd, slot] = True
+                self.res_active[upd, slot] = True
+                self.res_is_new[upd, slot] = True
+
+    def _win_dict(self, newest_slot):
+        D = 4 + 6 * self.F
+        return dict(
+            T_cw_fej=jnp.asarray(self.T_cw_fej, jnp.float32),
+            eps=jnp.asarray(self.eps, jnp.float32),
+            calib=jnp.asarray(self.K0), calib_zero=jnp.asarray(self.K0),
+            frame_valid=jnp.asarray(self.slot_used),
+            frame_prior=jnp.asarray(self.frame_prior),
+            c_prior=jnp.full(4, self.s.initial_calib_hessian / 2500.0,
+                             jnp.float32),
+            aff=jnp.asarray(self.aff), exposure=jnp.asarray(self.exposure),
+            HM=jnp.asarray(self.HM, jnp.float32),
+            bM=jnp.asarray(self.bM, jnp.float32),
+            newest=newest_slot,
+            frame_energy_th=jnp.asarray(self.fe_th),
+            pt_u=jnp.asarray(self.pt["u"]), pt_v=jnp.asarray(self.pt["v"]),
+            pt_idepth=jnp.asarray(self.pt["idepth"]),
+            pt_host=jnp.asarray(self.pt["host"]),
+            pt_color=jnp.asarray(self.pt["color"]),
+            pt_weights=jnp.asarray(self.pt["weights"]),
+            pt_is_sensor=jnp.asarray(self.pt["is_sensor"]),
+            pt_prior=jnp.asarray(self.pt["prior"]),
+            pt_valid=jnp.asarray(self.pt_valid),
+            res_active=jnp.asarray(self.res_active & self.pt_valid[:, None]),
+            res_state=jnp.asarray(self.res_state),
+            matcher_px=jnp.asarray(self.matcher_px),
+            matcher_valid=jnp.asarray(self.matcher_valid),
+            dI0_stack=self.dI0_stack, w=self.w, h=self.h,
+        )
+
+    def _optimize_window(self, newest_slot):
+        if len(self.order) < 2:
+            return
+        iters = self.s.max_opt_iterations
+        if len(self.order) < 3:
+            iters = 100
+        elif len(self.order) < 4:
+            iters = 75
+        win = self._win_dict(newest_slot)
+        win_out, lin_final, pairs, diag = backend.ba_optimize(win, self.s,
+                                                              max_iters=iters)
+        if not np.isfinite(diag["energy"]):
+            print("KF Tracking failed: LOST!")
+            self.is_lost = True
+            return
+        self.T_cw_fej = np.array(win_out["T_cw_fej"], np.float64)
+        self.eps = np.array(win_out["eps"], np.float64)
+        self.K0 = np.array(win_out["calib"], np.float32)
+        self.pt["idepth"] = np.array(win_out["pt_idepth"], np.float32)
+        self.fe_th = np.array(win_out["frame_energy_th"], np.float32)
+        new_state = np.array(lin_final["new_state"])
+        self.res_state = new_state
+        self.centers = np.array(lin_final["center"], np.float32)
+        # numGoodResiduals bookkeeping for new residuals
+        good_new = (new_state == backend.RES_IN) & self.res_is_new
+        self.pt["num_good_res"] += good_new.sum(axis=1)
+        self.res_is_new[:] = False
+        # idepth hessians for the tracking-reference weights
+        sys_ = backend.build_system(
+            lin_final, jnp.asarray(self.pt["host"]),
+            jnp.asarray(self.pt["is_sensor"]), jnp.asarray(self.pt["prior"]),
+            pairs, jnp.asarray(self.eps, jnp.float32) *
+            jnp.asarray(self.slot_used)[:, None].astype(jnp.float32),
+            jnp.asarray(self.K0) - win["calib_zero"], n_frames=self.F)
+        self.pt["idepth_hessian"] = np.array(sys_["Hdd"], np.float32)
+        # update shells of window frames (optimize():494-500)
+        T_wc = np.linalg.inv(self.T_cw)
+        for slot in self.order:
+            self.shells[self.frame_shell_idx[slot]]["T_wc"] = T_wc[slot]
+            self.shells[self.frame_shell_idx[slot]]["aff"] = self.aff[slot]
+
+    def _remove_outliers(self):
+        """Drop residuals not IN after the final linearization; drop points
+        with no remaining residuals (removeOutliers + linearizeAll(true))."""
+        drop = self.res_active & (self.res_state != backend.RES_IN)
+        self.res_active &= ~drop
+        self.matcher_valid &= ~drop
+        dead = self.pt_valid & ~self.res_active.any(axis=1)
+        for slot in self.order:
+            self.slot_stats_out[slot] += int((dead & (self.pt["host"] == slot)).sum())
+        self.pt_valid[dead] = False
+
+    def _set_coarse_tracking_ref(self, newest_slot):
+        """makeCoarseDepthL0: sensor points splatted into the newest KF."""
+        us, vs, ids, ws = [], [], [], []
+        m_new = self.pt_valid & self.pt["is_sensor"] & \
+            (self.pt["host"] == newest_slot)
+        if m_new.any():
+            us.append(self.pt["u"][m_new].astype(np.int32))
+            vs.append(self.pt["v"][m_new].astype(np.int32))
+            ids.append(self.pt["idepth"][m_new])
+            hdif = 1.0 / np.maximum(self.pt["idepth_hessian"][m_new], 1e-10)
+            ws.append(np.sqrt(1e-3 / (hdif + 1e-12)))
+        m_other = self.pt_valid & self.pt["is_sensor"] & \
+            (self.pt["host"] != newest_slot) & \
+            self.res_active[:, newest_slot] & \
+            (self.res_state[:, newest_slot] == backend.RES_IN)
+        if m_other.any():
+            c = self.centers[m_other, newest_slot]
+            us.append((c[:, 0] + 0.5).astype(np.int32))
+            vs.append((c[:, 1] + 0.5).astype(np.int32))
+            ids.append(c[:, 2])
+            hdif = 1.0 / np.maximum(self.pt["idepth_hessian"][m_other], 1e-10)
+            ws.append(np.sqrt(1e-3 / (hdif + 1e-12)))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        idp = np.concatenate(ids).astype(np.float32)
+        wt = np.concatenate(ws).astype(np.float32)
+        ok = (u >= 0) & (u < self.w) & (v >= 0) & (v < self.h) & (idp > 0)
+        id0, w0 = splat_idepth(jnp.asarray(u), jnp.asarray(v),
+                               jnp.asarray(idp), jnp.asarray(wt),
+                               jnp.asarray(ok), self.w, self.h)
+        self.track_ref = build_track_ref(self.pyr_slots[newest_slot], id0, w0,
+                                         self.levels)
+        self.track_ref_slot = newest_slot
+        self.track_ref_aff = self.aff[newest_slot].copy()
+        self.first_coarse_rmse = -1.0
+
+    def _flag_points_for_removal_and_marginalize(self, newest_slot):
+        """flagPointsForRemoval (FullSystem.cpp:730-820) +
+        ef->marginalizePointsF."""
+        s = self.s
+        n_res = self.res_active.sum(axis=1)
+        drop = np.zeros(self.N, bool)
+        marg = np.zeros(self.N, bool)
+        for slot in self.order[:-1]:
+            hm = self.pt_valid & (self.pt["host"] == slot)
+            if not hm.any():
+                continue
+            bad = hm & ((self.pt["idepth"] < 0) | (n_res == 0))
+            drop |= bad
+            rest = hm & ~bad
+            # isOOB approximation: host flagged, or last two target states bad
+            newest_bad = ~(self.res_active[:, newest_slot]
+                           & (self.res_state[:, newest_slot] == backend.RES_IN))
+            oob = rest & (self.slot_flagged[slot] | (
+                (n_res >= s.min_good_active_res_for_marg)
+                & (self.pt["num_good_res"] > s.min_good_res_for_marg + 10)
+                & newest_bad))
+            inlier = ((n_res >= s.min_good_active_res_for_marg)
+                      & (self.pt["num_good_res"] >= s.min_good_res_for_marg))
+            marg |= oob & inlier & (self.pt["idepth_hessian"]
+                                    > s.min_idepth_h_marg)
+            drop |= oob & ~(inlier & (self.pt["idepth_hessian"]
+                                      > s.min_idepth_h_marg))
+
+        if marg.any():
+            win = self._win_dict(newest_slot)
+            pairs = backend.make_pairs(
+                jnp.asarray(self.T_cw, jnp.float32), win["T_cw_fej"],
+                win["aff"], win["exposure"], win["calib"])
+            lin = backend.linearize_residuals(
+                win["pt_u"], win["pt_v"], win["pt_idepth"], win["pt_host"],
+                win["pt_color"], win["pt_weights"], win["res_active"],
+                win["res_state"], win["matcher_px"], win["matcher_valid"],
+                pairs, win["dI0_stack"], win["frame_energy_th"], win["calib"],
+                w=self.w, h=self.h)
+            # priorF *= idepth_fix_prior_marg_fac (marginalizePointsF:529)
+            prior_marg = np.where(self.pt["prior"] > 0,
+                                  self.pt["prior"] * s.idepth_fix_prior_marg_fac,
+                                  0.0)
+            dHM, dbM = backend.marginalize_points(
+                lin, win["pt_host"], win["pt_is_sensor"],
+                jnp.asarray(prior_marg, jnp.float32), jnp.asarray(marg),
+                jnp.asarray(self.eps, jnp.float32)
+                * jnp.asarray(self.slot_used)[:, None].astype(jnp.float32),
+                jnp.zeros(4, jnp.float32), pairs, n_frames=self.F,
+                marg_weight_fac=s.marg_weight_fac)
+            self.HM += np.asarray(dHM, np.float64)
+            self.bM += np.asarray(dbM, np.float64)
+
+        dead = drop | marg
+        for slot in self.order:
+            self.slot_stats_out[slot] += int((dead & (self.pt["host"] == slot)).sum())
+        self.pt_valid[dead] = False
+        self.res_active[dead, :] = False
+
+    def _marginalize_frames(self):
+        for slot in [sl for sl in self.order if self.slot_flagged[sl]]:
+            # drop residuals targeting this frame
+            self.res_active[:, slot] = False
+            self.matcher_valid[:, slot] = False
+            # any leftover hosted points/immatures die with the frame
+            hosted = self.pt_valid & (self.pt["host"] == slot)
+            self.pt_valid[hosted] = False
+            imh = self.im_valid & (self.im["host"] == slot)
+            self.im_valid[imh] = False
+
+            HM2, bM2 = backend.marginalize_frame(
+                jnp.asarray(self.HM, jnp.float32),
+                jnp.asarray(self.bM, jnp.float32),
+                jnp.asarray(self.frame_prior[slot]),
+                jnp.asarray(self.eps[slot], jnp.float32),
+                slot=slot, n_frames=self.F)
+            self.HM = np.array(HM2, np.float64)
+            self.bM = np.array(bM2, np.float64)
+
+            self.slot_used[slot] = False
+            self.slot_flagged[slot] = False
+            self.order.remove(slot)
+            self.pyr_slots[slot] = None
+            self.flat_slots[slot] = None
+            self.eps[slot] = 0.0
+            self.frame_prior[slot] = 0.0
+
+    # ------------------------------------------------------------------
+    # output
+    # ------------------------------------------------------------------
+
+    def get_trajectory(self) -> np.ndarray:
+        """(n, 4, 4) camToWorld per input frame (printResult)."""
+        return np.stack([sh["T_wc"] for sh in self.shells])

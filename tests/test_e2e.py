@@ -1,0 +1,58 @@
+"""End-to-end odometry test: full pipeline on the synthetic sequence.
+
+The synthetic scene provides exact ground truth, so this is the equivalent of
+the reference's KITTI trajectory replay validation (SURVEY.md §4.1) with a
+known answer.
+"""
+
+import numpy as np
+import pytest
+
+from sdv_loam_tpu.config import Settings
+from sdv_loam_tpu.data.synthetic import make_sequence
+from sdv_loam_tpu.eval.ate import ate_rmse, rpe
+from sdv_loam_tpu.system.full_system import FullSystem
+
+
+@pytest.fixture(scope="module")
+def run_result():
+    n_frames = 12
+    seq = make_sequence(n_frames=n_frames, w=320, h=96, step=0.8,
+                        yaw_rate=0.01, lidar_stride=2)
+    s = Settings(desired_immature_density=600, desired_point_density=800,
+                 n_active_cap=2048, n_immature_cap=2048)
+    fs = FullSystem(seq.calib, seq.sensor, s)
+    for i in range(n_frames):
+        img, cloud, ts = seq.get(i)
+        fs.add_active_frame(img, cloud, ts)
+    return fs, seq
+
+
+def test_pipeline_completes(run_result):
+    fs, seq = run_result
+    assert not fs.is_lost
+    assert len(fs.shells) == len(seq)
+    assert len(fs.kf_shells) >= 2
+    assert fs.pt_valid.sum() > 50
+
+
+def test_trajectory_accuracy(run_result):
+    fs, seq = run_result
+    est = fs.get_trajectory()
+    gt = seq.poses_wc
+    assert np.isfinite(est).all()
+    a = ate_rmse(est, gt)
+    # ~9.6 m trajectory; sub-1% ATE without scale alignment (LiDAR scale)
+    assert a < 0.10, f"ATE {a}"
+    t_rpe, r_rpe = rpe(est, gt)
+    assert t_rpe < 0.05, t_rpe
+    assert r_rpe < 0.01, r_rpe
+
+
+def test_kitti_output_roundtrip(run_result, tmp_path):
+    from sdv_loam_tpu.io.trajectory import read_kitti, write_kitti
+    fs, _ = run_result
+    p = tmp_path / "traj.txt"
+    write_kitti(str(p), fs.get_trajectory())
+    back = read_kitti(str(p))
+    np.testing.assert_allclose(back, fs.get_trajectory(), rtol=1e-5, atol=1e-4)
