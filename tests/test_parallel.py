@@ -1,0 +1,29 @@
+"""Multi-device sharding test on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdv_loam_tpu.parallel.mesh import (make_batch_mesh, make_batched_step,
+                                        make_example_batch)
+
+
+def test_batched_step_on_8_device_mesh():
+    n = len(jax.devices())
+    assert n == 8
+    mesh = make_batch_mesh()
+    w, h, F = 128, 64, 4
+    levels = 3
+    step, sharding = make_batched_step(mesh, levels, w, h, F)
+    states, imgs, Ks = make_example_batch(n, w=w, h=h, F=F)
+    states = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding)
+                          if hasattr(x, "shape") and x.ndim >= 1 else x,
+                          states)
+    out_state, diag = step(states, jnp.asarray(imgs), jnp.asarray(Ks))
+    # executed across the mesh: outputs batch-sharded and finite
+    eps = np.asarray(out_state["eps"])
+    assert eps.shape == (n, F, 6)
+    assert np.isfinite(eps).all()
+    assert np.isfinite(np.asarray(diag["energy"])).all()
+    shard_devices = {s.device for s in out_state["eps"].addressable_shards}
+    assert len(shard_devices) == n
