@@ -11,12 +11,29 @@ vs_baseline relative to the 100 fps/chip target (BASELINE.md).
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 
+def _setup_cache():
+    """Persistent XLA compilation cache: first bench run pays the ~20-40s
+    per-kernel remote compiles, later runs start hot."""
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_comp_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is an optimization only
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
+
 def main():
+    _setup_cache()
     from sdv_loam_tpu.config import Settings
     from sdv_loam_tpu.data.synthetic import make_sequence
     from sdv_loam_tpu.eval.ate import ate_rmse
@@ -24,17 +41,23 @@ def main():
 
     n_frames = 40
     warmup_frames = 12
+    t_gen = time.perf_counter()
     seq = make_sequence(n_frames=n_frames, w=1200, h=360, fx=718.856,
                         step=1.0, yaw_rate=0.004, lidar_stride=2)
     frames = [seq.get(i) for i in range(n_frames)]  # pre-render (host-side)
+    print(f"[bench] generated {n_frames} frames in "
+          f"{time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
 
     s = Settings()
     fs = FullSystem(seq.calib, seq.sensor, s)
 
     # warmup: triggers all jit compilations (init, tracking, KF pipeline)
     for i in range(warmup_frames):
+        t1 = time.perf_counter()
         img, cloud, ts = frames[i]
         fs.add_active_frame(img, cloud, ts)
+        print(f"[bench] warmup frame {i}: {time.perf_counter() - t1:.1f}s",
+              file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):

@@ -72,10 +72,14 @@ class FullSystem:
     """The complete LiDAR-assisted semi-direct visual odometry system."""
 
     def __init__(self, calib: PyramidCalib, sensor: SensorCalib,
-                 settings: Settings | None = None):
+                 settings: Settings | None = None, observers=None,
+                 telemetry=None):
         self.calib = calib
         self.sensor = sensor
         self.s = settings or Settings()
+        self.observers = list(observers or [])
+        from sdv_loam_tpu.io.telemetry import Telemetry
+        self.telemetry = telemetry or Telemetry()
         s = self.s
 
         self.w = calib.w[0]
@@ -230,9 +234,11 @@ class FullSystem:
                                     is_kf=False))
             return
 
-        dI, abs_grad = make_images(jnp.asarray(image, jnp.float32),
-                                   self.levels)
-        scan = self._preprocess(cloud)
+        with self.telemetry.stage("pyramid"):
+            dI, abs_grad = make_images(jnp.asarray(image, jnp.float32),
+                                       self.levels)
+        with self.telemetry.stage("lidar"):
+            scan = self._preprocess(cloud)
 
         shell = dict(id=len(self.shells), timestamp=timestamp,
                      T_wc=np.eye(4), aff=np.zeros(2), is_kf=False)
@@ -245,22 +251,31 @@ class FullSystem:
             # first frame: stash as the initializer frame (setFirstFromLidar)
             self._first_frame = frame
             self.initialized = True
+            self.telemetry.frame_done(False)
             return
 
         if len(self.shells) == 2:
             self._initialize_from_initializer()
 
-        ok = self._track_new_coarse(frame)
+        with self.telemetry.stage("track"):
+            ok = self._track_new_coarse(frame)
         if not ok:
             print("Initial tracking failed: LOST!")
             self.is_lost = True
             return
 
+        for ob in self.observers:
+            ob.publish_cam_pose(shell["id"], timestamp, shell["T_wc"])
+
         need_kf = self._keyframe_decision(frame)
-        if need_kf or len(self.kf_shells) < 2:
-            self._make_key_frame(frame)
+        is_kf = need_kf or len(self.kf_shells) < 2
+        if is_kf:
+            with self.telemetry.stage("keyframe"):
+                self._make_key_frame(frame)
         else:
-            self._make_non_key_frame(frame)
+            with self.telemetry.stage("trace"):
+                self._make_non_key_frame(frame)
+        self.telemetry.frame_done(is_kf)
 
     # ------------------------------------------------------------------
     # initialization
@@ -298,6 +313,10 @@ class FullSystem:
         finite = np.asarray(finite)
         z = depth_map[ys, xs]
         good = finite & (z > 0)
+        if good.sum() < 50:
+            # too few LiDAR-depth points to initialize (initializer failure
+            # -> full reset path, main.cpp:510-528)
+            self.init_failed = True
         rows = self._free_pt_rows(int(good.sum()))
         sel = np.nonzero(good)[0][:len(rows)]
 
@@ -619,6 +638,23 @@ class FullSystem:
         self._set_coarse_tracking_ref(slot)
         self._flag_points_for_removal_and_marginalize(slot)
         self._marginalize_frames()
+
+        self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
+                               int(self.res_active.sum()),
+                               float(self.last_coarse_rmse[0]))
+        if self.observers:
+            m = self.pt_valid
+            xn = (self.pt["u"][m] - self.K0[2]) / self.K0[0]
+            yn = (self.pt["v"][m] - self.K0[3]) / self.K0[1]
+            pr = np.stack([xn, yn, np.ones(m.sum())], -1) / \
+                np.maximum(self.pt["idepth"][m], 1e-9)[:, None]
+            T_wc = np.linalg.inv(self.T_cw)
+            Th = T_wc[self.pt["host"][m]]
+            pw = np.einsum("nij,nj->ni", Th[:, :3, :3], pr) + Th[:, :3, 3]
+            for ob in self.observers:
+                ob.publish_keyframes(
+                    [self.frame_kf_id[sl] for sl in self.order],
+                    T_wc[self.order], pw, self.pt["host"][m])
 
     def _flag_frames_for_marginalization(self):
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:25-94)."""

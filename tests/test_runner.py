@@ -1,0 +1,37 @@
+"""Runner / telemetry / observer tests."""
+
+import json
+
+import numpy as np
+
+from sdv_loam_tpu.config import Settings
+from sdv_loam_tpu.data.synthetic import make_sequence
+from sdv_loam_tpu.io.observer import JsonlRecorder
+from sdv_loam_tpu.system.runner import run_sequence
+
+
+def test_run_sequence_with_observers(tmp_path):
+    seq = make_sequence(n_frames=6, w=256, h=96, step=0.8, lidar_stride=4)
+    s = Settings(desired_immature_density=400, desired_point_density=500,
+                 n_active_cap=1024, n_immature_cap=1024)
+    rec_path = tmp_path / "events.jsonl"
+    traj_path = tmp_path / "traj.txt"
+    log_path = tmp_path / "log.jsonl"
+    rec = JsonlRecorder(str(rec_path))
+    fs, summary = run_sequence(seq, s, observers=[rec],
+                               result_path=str(traj_path),
+                               log_path=str(log_path))
+    assert summary["frames"] == 6
+    assert summary["keyframes"] >= 2
+    assert summary["fps"] > 0
+    assert "track" in summary["stages_ms"]
+    # trajectory file: 6 rows of 12 floats
+    rows = np.loadtxt(str(traj_path))
+    assert rows.shape == (6, 12)
+    # observer events recorded
+    events = [json.loads(l) for l in open(rec_path)]
+    kinds = {e["event"] for e in events}
+    assert "cam_pose" in kinds and "keyframes" in kinds
+    # telemetry log has keyframe lines
+    logs = [json.loads(l) for l in open(log_path)]
+    assert any(e["kind"] == "keyframe" for e in logs)
