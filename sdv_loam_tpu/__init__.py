@@ -22,4 +22,12 @@ Package layout (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry / normal-equation math must run in true float32: TPU matmuls
+# default to bfloat16 passes, which destroys pose-composition and Jacobian
+# accuracy (the reference solves in double, EnergyFunctional.cpp:659).
+# Every matmul in this framework is small, so 'highest' costs nothing.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from sdv_loam_tpu.config import Settings  # noqa: F401

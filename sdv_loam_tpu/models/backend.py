@@ -416,11 +416,11 @@ def orthogonalize(vec, Ns):
     return vec - P @ vec
 
 
-@partial(jax.jit, static_argnames=("n_frames", "orthogonalize_x"))
+@partial(jax.jit, static_argnames=("n_frames",))
 def solve_system(sys_, HM, bM, delta_stitched, c_prior, c_delta,
                  frame_prior, frame_delta, frame_valid, nullspaces,
                  lam, pt_host, pt_is_sensor, pairs, n_frames: int,
-                 orthogonalize_x: bool = True):
+                 orthogonalize_x=True):
     """Assemble the final system and solve (solveSystemF:650-759) +
     resubstitute idepth steps (resubstituteF:221-282).
 
@@ -454,8 +454,7 @@ def solve_system(sys_, HM, bM, delta_stitched, c_prior, c_delta,
     bs = b * SVecI
     x = SVecI * jnp.linalg.solve(Hs + jnp.eye(D, dtype=dtype) * 1e-12, bs)
 
-    if orthogonalize_x:
-        x = orthogonalize(x, nullspaces)
+    x = jnp.where(orthogonalize_x, orthogonalize(x, nullspaces), x)
 
     dc = -x[:4]
     dframes = -x[4:].reshape(F, 6) * frame_valid[:, None]
@@ -772,3 +771,136 @@ def ba_optimize(win, settings, max_iters: int):
                           / jnp.maximum(jnp.sum(lin_final["new_state"]
                                                 == RES_IN), 1)))
     return win_out, lin_final, pairs_f, dict(energy=E_last, rmse=rmse)
+
+
+# ---------------------------------------------------------------------------
+# fully-jitted LM driver: one device program per keyframe
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_frames", "w", "h"))
+def ba_optimize_jit(T_cw_fej, eps, calib, calib_zero, frame_valid,
+                    frame_prior, c_prior, aff, exposure, HM, bM, newest,
+                    frame_energy_th, pt_u, pt_v, pt_idepth, pt_host,
+                    pt_color, pt_weights, pt_is_sensor, pt_prior,
+                    res_active, res_state, matcher_px, matcher_valid,
+                    dI0_stack, max_iters, min_opt_iterations,
+                    th_opt_iterations, force_accept,
+                    n_frames: int, w: int, h: int):
+    """The whole windowed LM (FullSystem::optimize) as ONE device program.
+
+    All data-dependent control flow (accept/reject, lambda schedule,
+    early break, iteration>=2 step orthogonalization, the adaptive
+    newest-frame energy threshold) lives in a lax.while_loop — no host
+    round-trips. `newest` and `max_iters` are traced, so one compilation
+    covers every keyframe.
+
+    Returns (eps, calib, idepth, feth, T_cw_fej_out, new_state, center,
+    Hdd, energy, rmse).
+    """
+    F = n_frames
+    fvalid_f = frame_valid.astype(T_cw_fej.dtype)
+
+    def linearize(eps_, calib_, idepth_, feth_):
+        T_cw = jnp.einsum("fij,fjk->fik", se3.se3_exp(eps_), T_cw_fej)
+        pairs = make_pairs(T_cw, T_cw_fej, aff, exposure, calib_)
+        lin = linearize_residuals(
+            pt_u, pt_v, idepth_, pt_host, pt_color, pt_weights,
+            res_active, res_state, matcher_px, matcher_valid,
+            pairs, dI0_stack, feth_, calib_, w=w, h=h)
+        return lin, pairs
+
+    def update_feth(lin, feth_):
+        mask = res_active & (jnp.arange(F)[None, :] == newest) & \
+            (lin["new_state"] != RES_OOB)
+        return feth_.at[newest].set(frame_energy_quantile(lin["energy_phot"],
+                                                          mask))
+
+    def total_energy(lin, pairs_, eps_, calib_):
+        c_delta = calib_ - calib_zero
+        dstt = stitched_delta(c_delta, eps_, frame_valid)
+        dp_pair = pair_deltas(pairs_, eps_ * fvalid_f[:, None], F)
+        pidx = pt_host[:, None] * F + jnp.arange(F)[None, :]
+        resA = lin["resF"] + \
+            jnp.einsum("nfai,nfi->nfa", lin["Jxi"], dp_pair[pidx]) + \
+            jnp.einsum("nfai,i->nfa", lin["Jc"], c_delta)
+        resA = jnp.where((lin["new_state"] == RES_IN)[..., None], resA, 0.0)
+        return (jnp.sum(resA * resA) + marg_energy(HM, bM, dstt)
+                + prior_energy(c_prior, c_delta, frame_prior,
+                               eps_ * fvalid_f[:, None]))
+
+    nullspaces = make_nullspaces(T_cw_fej, fvalid_f)
+
+    lin0, pairs0 = linearize(eps, calib, pt_idepth, frame_energy_th)
+    feth0 = update_feth(lin0, frame_energy_th)
+    lin0, pairs0 = linearize(eps, calib, pt_idepth, feth0)
+    E0 = total_energy(lin0, pairs0, eps, calib)
+
+    n_valid_frames = jnp.maximum(jnp.sum(frame_valid), 1)
+
+    def cond(c):
+        it, done, *_ = c
+        return (it < max_iters) & (~done)
+
+    def body(c):
+        it, done, eps_, calib_, idepth_, feth_, lam, E_last, lin_, pairs_ = c
+        c_delta = calib_ - calib_zero
+        sys_ = build_system(lin_, pt_host, pt_is_sensor, pt_prior, pairs_,
+                            eps_ * fvalid_f[:, None], c_delta, n_frames=F)
+        sol = solve_system(sys_, HM, bM,
+                           stitched_delta(c_delta, eps_, frame_valid),
+                           c_prior, c_delta, frame_prior,
+                           eps_ * fvalid_f[:, None], frame_valid, nullspaces,
+                           lam, pt_host, pt_is_sensor, pairs_, n_frames=F,
+                           orthogonalize_x=(it >= 2))
+        eps_n = eps_ + sol["dframes"]
+        calib_n = calib_ + sol["dc"]
+        idepth_n = jnp.where(pt_is_sensor, idepth_, idepth_ + sol["didepth"])
+
+        lin_n, pairs_n = linearize(eps_n, calib_n, idepth_n, feth_)
+        feth_n = update_feth(lin_n, feth_)
+        E_new = total_energy(lin_n, pairs_n, eps_n, calib_n)
+
+        sumT = jnp.sum(sol["dframes"][:, :3] ** 2) / n_valid_frames
+        sumR = jnp.sum(sol["dframes"][:, 3:] ** 2) / n_valid_frames
+        canbreak = (jnp.sqrt(sumR) < 0.00005 * th_opt_iterations) & \
+            (jnp.sqrt(sumT) < 0.00005 * th_opt_iterations)
+
+        accept = (E_new < E_last) | force_accept
+        eps_ = jnp.where(accept, eps_n, eps_)
+        calib_ = jnp.where(accept, calib_n, calib_)
+        idepth_ = jnp.where(accept, idepth_n, idepth_)
+        feth_ = jnp.where(accept, feth_n, feth_)
+        lin_ = jax.tree.map(lambda a, b: jnp.where(accept, b, a), lin_, lin_n)
+        pairs_ = jax.tree.map(lambda a, b: jnp.where(accept, b, a),
+                              pairs_, pairs_n)
+        E_last = jnp.where(accept, E_new, E_last)
+        lam = jnp.where(accept, lam * 0.25, lam * 1e2)
+        done = canbreak & (it >= min_opt_iterations)
+        return it + 1, done, eps_, calib_, idepth_, feth_, lam, E_last, \
+            lin_, pairs_
+
+    carry = (jnp.int32(0), jnp.bool_(False), eps, calib, pt_idepth, feth0,
+             jnp.float32(1e-1), E0, lin0, pairs0)
+    (_, _, eps_f, calib_f, idepth_f, feth_f, _, E_f, _, _) = \
+        jax.lax.while_loop(cond, body, carry)
+
+    # fix the newest frame's eval point, then final linearization
+    T_cw = jnp.einsum("fij,fjk->fik", se3.se3_exp(eps_f), T_cw_fej)
+    T_cw_fej_out = T_cw_fej.at[newest].set(T_cw[newest])
+    eps_out = eps_f.at[newest].set(0.0)
+
+    T_cw_out = jnp.einsum("fij,fjk->fik", se3.se3_exp(eps_out), T_cw_fej_out)
+    pairs_f = make_pairs(T_cw_out, T_cw_fej_out, aff, exposure, calib_f)
+    lin_f = linearize_residuals(
+        pt_u, pt_v, idepth_f, pt_host, pt_color, pt_weights, res_active,
+        res_state, matcher_px, matcher_valid, pairs_f, dI0_stack, feth_f,
+        calib_f, w=w, h=h)
+    sys_f = build_system(lin_f, pt_host, pt_is_sensor, pt_prior, pairs_f,
+                         eps_out * fvalid_f[:, None], calib_f - calib_zero,
+                         n_frames=F)
+    rmse = jnp.sqrt(jnp.sum(lin_f["energy"])
+                    / jnp.maximum(jnp.sum(lin_f["new_state"] == RES_IN), 1))
+    return dict(eps=eps_out, calib=calib_f, idepth=idepth_f, feth=feth_f,
+                T_cw_fej=T_cw_fej_out, new_state=lin_f["new_state"],
+                center=lin_f["center"], Hdd=sys_f["Hdd"], energy=E_f,
+                rmse=rmse)

@@ -1037,33 +1037,48 @@ class FullSystem:
             iters = 100
         elif len(self.order) < 4:
             iters = 75
-        win = self._win_dict(newest_slot)
-        win_out, lin_final, pairs, diag = backend.ba_optimize(win, self.s,
-                                                              max_iters=iters)
-        if not np.isfinite(diag["energy"]):
+        # single device program for the whole LM (ba_optimize_jit)
+        out = backend.ba_optimize_jit(
+            jnp.asarray(self.T_cw_fej, jnp.float32),
+            jnp.asarray(self.eps, jnp.float32),
+            jnp.asarray(self.K0), jnp.asarray(self.K0),
+            jnp.asarray(self.slot_used),
+            jnp.asarray(self.frame_prior),
+            jnp.full(4, self.s.initial_calib_hessian / 2500.0, jnp.float32),
+            jnp.asarray(self.aff), jnp.asarray(self.exposure),
+            jnp.asarray(self.HM, jnp.float32),
+            jnp.asarray(self.bM, jnp.float32),
+            jnp.int32(newest_slot), jnp.asarray(self.fe_th),
+            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+            jnp.asarray(self.pt["color"]), jnp.asarray(self.pt["weights"]),
+            jnp.asarray(self.pt["is_sensor"]), jnp.asarray(self.pt["prior"]),
+            jnp.asarray(self.res_active & self.pt_valid[:, None]),
+            jnp.asarray(self.res_state),
+            jnp.asarray(self.matcher_px), jnp.asarray(self.matcher_valid),
+            self.dI0_stack, jnp.int32(iters),
+            jnp.int32(self.s.min_opt_iterations),
+            jnp.float32(self.s.th_opt_iterations),
+            jnp.bool_(self.s.force_accept_step),
+            n_frames=self.F, w=self.w, h=self.h)
+        energy = float(out["energy"])
+        if not np.isfinite(energy):
             print("KF Tracking failed: LOST!")
             self.is_lost = True
             return
-        self.T_cw_fej = np.array(win_out["T_cw_fej"], np.float64)
-        self.eps = np.array(win_out["eps"], np.float64)
-        self.K0 = np.array(win_out["calib"], np.float32)
-        self.pt["idepth"] = np.array(win_out["pt_idepth"], np.float32)
-        self.fe_th = np.array(win_out["frame_energy_th"], np.float32)
-        new_state = np.array(lin_final["new_state"])
+        self.T_cw_fej = np.array(out["T_cw_fej"], np.float64)
+        self.eps = np.array(out["eps"], np.float64)
+        self.K0 = np.array(out["calib"], np.float32)
+        self.pt["idepth"] = np.array(out["idepth"], np.float32)
+        self.fe_th = np.array(out["feth"], np.float32)
+        new_state = np.array(out["new_state"])
         self.res_state = new_state
-        self.centers = np.array(lin_final["center"], np.float32)
+        self.centers = np.array(out["center"], np.float32)
         # numGoodResiduals bookkeeping for new residuals
         good_new = (new_state == backend.RES_IN) & self.res_is_new
         self.pt["num_good_res"] += good_new.sum(axis=1)
         self.res_is_new[:] = False
-        # idepth hessians for the tracking-reference weights
-        sys_ = backend.build_system(
-            lin_final, jnp.asarray(self.pt["host"]),
-            jnp.asarray(self.pt["is_sensor"]), jnp.asarray(self.pt["prior"]),
-            pairs, jnp.asarray(self.eps, jnp.float32) *
-            jnp.asarray(self.slot_used)[:, None].astype(jnp.float32),
-            jnp.asarray(self.K0) - win["calib_zero"], n_frames=self.F)
-        self.pt["idepth_hessian"] = np.array(sys_["Hdd"], np.float32)
+        self.pt["idepth_hessian"] = np.array(out["Hdd"], np.float32)
         # update shells of window frames (optimize():494-500)
         T_wc = np.linalg.inv(self.T_cw)
         for slot in self.order:
