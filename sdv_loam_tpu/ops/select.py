@@ -250,7 +250,8 @@ def make_maps(dI0, abs_grads, cand_mask, density, key, pot_state: dict,
             dI0, abs_grads[0], abs_grads[1], abs_grads[2], ths, cand_mask,
             k_sel, pot, th_factor, settings.grad_downweight_per_level,
             settings.select_direction_distribution)
-        num_have = float(np.asarray(counts).sum())
+        status, counts = jax.device_get((status, counts))
+        num_have = float(counts.sum())
         quotia = density / max(num_have, 1.0)
         K = num_have * (pot + 1) * (pot + 1)
         ideal_pot = max(1, int(np.sqrt(K / max(density, 1.0)) - 1))
@@ -262,10 +263,11 @@ def make_maps(dI0, abs_grads, cand_mask, density, key, pot_state: dict,
             continue
         break
 
-    status_np = np.asarray(status)
+    status_np = status
     n_have = int((status_np != 0).sum())
     if quotia < 0.95 and n_have > 0:
-        keep = np.asarray(jax.random.uniform(k_sub, status_np.shape) < quotia)
+        keep = jax.device_get(
+            jax.random.uniform(k_sub, status_np.shape) < quotia)
         status_np = np.where(keep, status_np, 0).astype(np.int8)
         n_have = int((status_np != 0).sum())
     pot_state["pot"] = ideal_pot

@@ -286,7 +286,7 @@ class FullSystem:
         (CoarseInitializer::setFirstFromLidar + initializeFromInitializer)."""
         fr = self._first_frame
         scan = fr["scan"]
-        depth_map = np.asarray(scan["depth_map"])
+        depth_map = jax.device_get(scan["depth_map"])
         cand = depth_map > 0
 
         lidar_area = self._lidar_bbox_area(depth_map)
@@ -307,10 +307,9 @@ class FullSystem:
         # first-frame gauge prior (getPrior: initialRot/TransPrior)
         self.frame_prior[slot] = np.array([1e10] * 3 + [1e11] * 3)
 
-        col, wgt, gradH, finite = trace_ops.pattern_colors(
+        col, wgt, gradH, finite = jax.device_get(trace_ops.pattern_colors(
             fr["dI"][0], jnp.asarray(xs, jnp.float32),
-            jnp.asarray(ys, jnp.float32))
-        finite = np.asarray(finite)
+            jnp.asarray(ys, jnp.float32)))
         z = depth_map[ys, xs]
         good = finite & (z > 0)
         if good.sum() < 50:
@@ -320,14 +319,14 @@ class FullSystem:
         rows = self._free_pt_rows(int(good.sum()))
         sel = np.nonzero(good)[0][:len(rows)]
 
-        q = np.asarray(jnp.linalg.norm(fr["dI"][0][ys, xs, 1:], axis=-1))
+        q = jax.device_get(jnp.linalg.norm(fr["dI"][0][ys, xs, 1:], axis=-1))
         self.pt_valid[rows] = True
         self.pt["u"][rows] = xs[sel]
         self.pt["v"][rows] = ys[sel]
         self.pt["idepth"][rows] = 1.0 / z[sel]
         self.pt["host"][rows] = slot
-        self.pt["color"][rows] = np.asarray(col)[sel]
-        self.pt["weights"][rows] = np.asarray(wgt)[sel]
+        self.pt["color"][rows] = col[sel]
+        self.pt["weights"][rows] = wgt[sel]
         self.pt["is_sensor"][rows] = True
         self.pt["type"][rows] = CORNER
         self.pt["prior"][rows] = self.s.idepth_fix_prior  # hasDepthPrior
@@ -408,6 +407,7 @@ class FullSystem:
                 jnp.asarray(np.nan_to_num(achieved, nan=np.inf), jnp.float32),
                 self.s.coarse_cutoff_th, self.s.huber_th,
                 coarsest_lvl=coarsest)
+            out = jax.device_get(out)  # single batched d2h
             res = np.asarray(out["res"], np.float64)
             ok = bool(out["ok"]) and np.isfinite(res[0])
             if ok and not (res[0] >= achieved[0]):
@@ -446,7 +446,8 @@ class FullSystem:
                     jnp.asarray(pw, jnp.float32), jnp.asarray(px, jnp.float32),
                     jnp.asarray(m),
                     jnp.asarray(self.K0), self.w, self.h)
-                T_new = np.asarray(out["T_cur_to_world"], np.float64)
+                T_new = np.asarray(jax.device_get(out["T_cur_to_world"]),
+                                   np.float64)
                 if np.all(np.isfinite(T_new)):
                     shell["T_wc"] = T_new
 
@@ -494,6 +495,7 @@ class FullSystem:
             jnp.asarray(aff_target, jnp.float32), jnp.float32(1.0),
             jnp.asarray(self.K0), jnp.asarray(ref_idx),
             w=self.w, h=self.h, max_level=self.levels - 1)
+        out = jax.device_get(out)
         m = np.asarray(out["matched"])
         px = np.asarray(out["px"])
         # world points
@@ -566,15 +568,11 @@ class FullSystem:
             frame["dI"][0], w=self.w, h=self.h,
             max_pix_search_frac=self.s.max_pix_search,
             huber_th=self.s.huber_th)
+        out = jax.device_get(out)
         upd = self.im_valid & (~im["is_sensor"])
-        for k_src, k_dst in (("idepth_min", "idepth_min"),
-                             ("idepth_max", "idepth_max"),
-                             ("quality", "quality"),
-                             ("pixel_interval", "pixel_interval")):
-            arr = np.asarray(out[k_src])
-            im[k_dst][upd] = arr[upd]
-        st = np.asarray(out["status"])
-        im["status"][upd] = st[upd]
+        for k in ("idepth_min", "idepth_max", "quality", "pixel_interval"):
+            im[k][upd] = out[k][upd]
+        im["status"][upd] = out["status"][upd]
 
     # ------------------------------------------------------------------
     # keyframe pipeline
@@ -698,7 +696,8 @@ class FullSystem:
     def _make_new_traces(self, frame, slot):
         """Point selection + immature point creation (makeNewTraces)."""
         scan = frame["scan"]
-        depth_map = np.asarray(scan["depth_map"])
+        depth_map, add_feat = jax.device_get(
+            (scan["depth_map"], scan["add_feature_point"]))
         cand = depth_map > 0
         lidar_area = self._lidar_bbox_area(depth_map)
         img_area = self.w * self.h
@@ -712,7 +711,7 @@ class FullSystem:
 
         # optional monocular points when the scene is ground-dominated
         mxs = mys = np.zeros(0, int)
-        if bool(np.asarray(scan["add_feature_point"])):
+        if bool(add_feat):
             mstatus, _ = make_maps(frame["dI"][0], frame["abs_grad"],
                                    jnp.ones((self.h, self.w), bool),
                                    self.s.desired_immature_density,
@@ -734,9 +733,10 @@ class FullSystem:
             return
         col, wgt, gradH, finite = trace_ops.pattern_colors(
             frame["dI"][0], jnp.asarray(all_u), jnp.asarray(all_v))
-        finite = np.asarray(finite)
-        score = np.asarray(shi_tomasi(frame["dI"][0], jnp.asarray(all_u),
-                                      jnp.asarray(all_v)))
+        col, wgt, gradH, finite, score = jax.device_get(
+            (col, wgt, gradH, finite,
+             shi_tomasi(frame["dI"][0], jnp.asarray(all_u),
+                        jnp.asarray(all_v))))
         max_score = score[:n_sens].max() if n_sens else 1.0
 
         good = finite.copy()
@@ -747,9 +747,9 @@ class FullSystem:
         im["u"][rows] = all_u[sel]
         im["v"][rows] = all_v[sel]
         im["host"][rows] = slot
-        im["color"][rows] = np.asarray(col)[sel]
-        im["weights"][rows] = np.asarray(wgt)[sel]
-        im["gradH"][rows] = np.asarray(gradH)[sel]
+        im["color"][rows] = col[sel]
+        im["weights"][rows] = wgt[sel]
+        im["gradH"][rows] = gradH[sel]
         im["energy_th"][rows] = 8 * self.s.outlier_th
         im["quality"][rows] = 10000.0
         im["pixel_interval"][rows] = 0.0
@@ -824,8 +824,8 @@ class FullSystem:
             pu[idx] = uu
             pv[idx] = vv
             pvalid[idx] = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-        dmap = np.asarray(distance_map(jnp.asarray(pu), jnp.asarray(pv),
-                                       jnp.asarray(pvalid), w1, h1))
+        dmap = jax.device_get(distance_map(jnp.asarray(pu), jnp.asarray(pv),
+                                           jnp.asarray(pvalid), w1, h1))
 
         im = self.im
         imv = self.im_valid
@@ -924,15 +924,16 @@ class FullSystem:
             w=self.w, h=self.h, n_frames=F,
             min_idepth_h_act=s.min_idepth_h_act, min_obs=1,
             gn_iters=s.gn_its_on_point_activation)
-        success = np.asarray(out["success"])
-        new_idepth = np.asarray(out["idepth"])
-        inlier_t = np.asarray(out["inlier_targets"])
+        out = jax.device_get(out)
+        success = out["success"]
+        new_idepth = out["idepth"]
+        inlier_t = out["inlier_targets"]
 
         ok_idx = idx[success]
         rows = self._free_pt_rows(ok_idx.size)
         ok_idx = ok_idx[:rows.size]
         if rows.size:
-            g = np.asarray(jnp.linalg.norm(
+            g = jax.device_get(jnp.linalg.norm(
                 self.dI0_stack[jnp.asarray(im["host"][ok_idx]),
                                jnp.asarray(np.clip(im["v"][ok_idx].astype(int),
                                                    0, self.h - 1)),
@@ -1061,6 +1062,7 @@ class FullSystem:
             jnp.float32(self.s.th_opt_iterations),
             jnp.bool_(self.s.force_accept_step),
             n_frames=self.F, w=self.w, h=self.h)
+        out = jax.device_get(out)
         energy = float(out["energy"])
         if not np.isfinite(energy):
             print("KF Tracking failed: LOST!")
