@@ -22,6 +22,8 @@ Package layout (see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Geometry / normal-equation math must run in true float32: TPU matmuls
@@ -29,5 +31,17 @@ import jax as _jax
 # accuracy (the reference solves in double, EnergyFunctional.cpp:659).
 # Every matmul in this framework is small, so 'highest' costs nothing.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: the large fused programs (notably the
+# single-program BA LM loop) take minutes to compile over the remote-TPU
+# tunnel; cache them across processes.
+try:
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                             _os.path.expanduser("~/.cache/jax_comp_cache"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization only
+    pass
 
 from sdv_loam_tpu.config import Settings  # noqa: F401

@@ -44,12 +44,14 @@ IPS_UNINITIALIZED = 5
 TRACE_STEPS = 100  # hard cap, ImmaturePoint.cpp:207-212
 
 
+@jax.jit
 def pattern_colors(dI0, u, v):
     """Sample the 8-pattern colors + gradH + weights at host pixels
     (ImmaturePoint constructor).
 
     Returns (color (N,8), weights (N,8), gradH (N,3) as [Gxx, Gxy, Gyy],
-    finite (N,))."""
+    finite (N,), grad_center (N,) = |grad| at the center pixel — the
+    Reprojector's point-quality key, Reprojector.cpp:188-196)."""
     from sdv_loam_tpu.ops.warp import gather_patches
     offs = jnp.asarray(PATTERN_P, jnp.float32)
     vals, ok = gather_patches(dI0, u, v, offs)   # (N, 8, 3)
@@ -61,7 +63,8 @@ def pattern_colors(dI0, u, v):
     c = jnp.float32(50.0 * 50.0)  # setting_outlierTHSumComponent
     weights = jnp.sqrt(c / (c + gx * gx + gy * gy))
     finite = jnp.isfinite(color).all(axis=-1) & ok.all(axis=-1)
-    return color, weights, gradH, finite
+    grad_center = jnp.hypot(gx[:, 4], gy[:, 4])  # pattern[4] == (0, 0)
+    return color, weights, gradH, finite, grad_center
 
 
 @partial(jax.jit, static_argnames=("w", "h"))

@@ -149,6 +149,7 @@ class FullSystem:
             pixel_interval=np.zeros(M, np.float32),
             my_type=np.ones(M, np.float32),
             type=np.zeros(M, np.int32),
+            grad_center=np.zeros(M, np.float32),
         )
 
         # --- marginalization prior ---
@@ -218,6 +219,19 @@ class FullSystem:
     def _free_im_rows(self, n):
         free = np.nonzero(~self.im_valid)[0]
         return free[:n]
+
+    @staticmethod
+    def _pad_bucket(arrs, bucket=512):
+        """Pad a list of equal-length arrays to the next bucket multiple so
+        batched device calls hit a bounded set of compiled shapes."""
+        n = arrs[0].shape[0]
+        cap = max(bucket, -(-n // bucket) * bucket)
+        out = []
+        for a in arrs:
+            b = np.zeros((cap,) + a.shape[1:], a.dtype)
+            b[:n] = a
+            out.append(b)
+        return out, n
 
     # ------------------------------------------------------------------
     # main entry (addActiveFrame)
@@ -307,9 +321,14 @@ class FullSystem:
         # first-frame gauge prior (getPrior: initialRot/TransPrior)
         self.frame_prior[slot] = np.array([1e10] * 3 + [1e11] * 3)
 
-        col, wgt, gradH, finite = jax.device_get(trace_ops.pattern_colors(
-            fr["dI"][0], jnp.asarray(xs, jnp.float32),
-            jnp.asarray(ys, jnp.float32)))
+        (xs_p, ys_p), n_raw = self._pad_bucket(
+            [xs.astype(np.float32), ys.astype(np.float32)])
+        col, wgt, gradH, finite, gcen = jax.device_get(
+            trace_ops.pattern_colors(fr["dI"][0], jnp.asarray(xs_p),
+                                     jnp.asarray(ys_p)))
+        col, wgt, gradH, finite, gcen = (col[:n_raw], wgt[:n_raw],
+                                         gradH[:n_raw], finite[:n_raw],
+                                         gcen[:n_raw])
         z = depth_map[ys, xs]
         good = finite & (z > 0)
         if good.sum() < 50:
@@ -319,7 +338,7 @@ class FullSystem:
         rows = self._free_pt_rows(int(good.sum()))
         sel = np.nonzero(good)[0][:len(rows)]
 
-        q = jax.device_get(jnp.linalg.norm(fr["dI"][0][ys, xs, 1:], axis=-1))
+        q = gcen
         self.pt_valid[rows] = True
         self.pt["u"][rows] = xs[sel]
         self.pt["v"][rows] = ys[sel]
@@ -345,10 +364,11 @@ class FullSystem:
         u = np.round(self.pt["u"][m] + 0.5).astype(np.int32)
         v = np.round(self.pt["v"][m] + 0.5).astype(np.int32)
         weight = np.full(m.sum(), np.sqrt(1e-3 / 1e-12), np.float32)
+        (u, v, idp, weight, ok), _ = self._pad_bucket(
+            [u, v, self.pt["idepth"][m], weight, np.ones(m.sum(), bool)])
         id0, w0 = splat_idepth(jnp.asarray(u), jnp.asarray(v),
-                               jnp.asarray(self.pt["idepth"][m]),
-                               jnp.asarray(weight),
-                               jnp.ones(m.sum(), bool), self.w, self.h)
+                               jnp.asarray(idp), jnp.asarray(weight),
+                               jnp.asarray(ok), self.w, self.h)
         self.track_ref = build_track_ref(self.pyr_slots[slot], id0, w0,
                                          self.levels)
         self.track_ref_slot = slot
@@ -731,12 +751,15 @@ class FullSystem:
         n_sens = len(xs)
         if all_u.size == 0:
             return
-        col, wgt, gradH, finite = trace_ops.pattern_colors(
-            frame["dI"][0], jnp.asarray(all_u), jnp.asarray(all_v))
-        col, wgt, gradH, finite, score = jax.device_get(
-            (col, wgt, gradH, finite,
-             shi_tomasi(frame["dI"][0], jnp.asarray(all_u),
-                        jnp.asarray(all_v))))
+        (au_p, av_p), n_raw = self._pad_bucket([all_u, all_v])
+        pc = trace_ops.pattern_colors(frame["dI"][0], jnp.asarray(au_p),
+                                      jnp.asarray(av_p))
+        col, wgt, gradH, finite, gcen, score = jax.device_get(
+            pc + (shi_tomasi(frame["dI"][0], jnp.asarray(au_p),
+                             jnp.asarray(av_p)),))
+        col, wgt, gradH, finite, gcen, score = (
+            col[:n_raw], wgt[:n_raw], gradH[:n_raw], finite[:n_raw],
+            gcen[:n_raw], score[:n_raw])
         max_score = score[:n_sens].max() if n_sens else 1.0
 
         good = finite.copy()
@@ -750,6 +773,7 @@ class FullSystem:
         im["color"][rows] = col[sel]
         im["weights"][rows] = wgt[sel]
         im["gradH"][rows] = gradH[sel]
+        im["grad_center"][rows] = gcen[sel]
         im["energy_th"][rows] = 8 * self.s.outlier_th
         im["quality"][rows] = 10000.0
         im["pixel_interval"][rows] = 0.0
@@ -912,34 +936,31 @@ class FullSystem:
         idx = idx[:cap]
         id_init = 0.5 * (np.clip(im["idepth_max"][idx], 0, 1e6)
                          + im["idepth_min"][idx])
+        valid_batch = np.ones(idx.size, bool)
+        (bu, bv, bid, bcol, bwgt, bhost, bsens, bval, beth), n_raw =             self._pad_bucket([
+                im["u"][idx], im["v"][idx], id_init.astype(np.float32),
+                im["color"][idx], im["weights"][idx], im["host"][idx],
+                im["is_sensor"][idx], valid_batch, im["energy_th"][idx]])
         out = trace_ops.activate_points(
-            jnp.asarray(im["u"][idx]), jnp.asarray(im["v"][idx]),
-            jnp.asarray(id_init, jnp.float32),
-            jnp.asarray(im["color"][idx]), jnp.asarray(im["weights"][idx]),
-            jnp.asarray(im["host"][idx]), jnp.asarray(im["is_sensor"][idx]),
-            jnp.ones(idx.size, bool), jnp.asarray(self.slot_used),
+            jnp.asarray(bu), jnp.asarray(bv), jnp.asarray(bid),
+            jnp.asarray(bcol), jnp.asarray(bwgt), jnp.asarray(bhost),
+            jnp.asarray(bsens), jnp.asarray(bval),
+            jnp.asarray(self.slot_used),
             jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
-            self.dI0_stack, jnp.asarray(self.K0),
-            jnp.asarray(im["energy_th"][idx]),
+            self.dI0_stack, jnp.asarray(self.K0), jnp.asarray(beth),
             w=self.w, h=self.h, n_frames=F,
             min_idepth_h_act=s.min_idepth_h_act, min_obs=1,
             gn_iters=s.gn_its_on_point_activation)
         out = jax.device_get(out)
-        success = out["success"]
-        new_idepth = out["idepth"]
-        inlier_t = out["inlier_targets"]
+        success = out["success"][:n_raw]
+        new_idepth = out["idepth"][:n_raw]
+        inlier_t = out["inlier_targets"][:n_raw]
 
         ok_idx = idx[success]
         rows = self._free_pt_rows(ok_idx.size)
         ok_idx = ok_idx[:rows.size]
         if rows.size:
-            g = jax.device_get(jnp.linalg.norm(
-                self.dI0_stack[jnp.asarray(im["host"][ok_idx]),
-                               jnp.asarray(np.clip(im["v"][ok_idx].astype(int),
-                                                   0, self.h - 1)),
-                               jnp.asarray(np.clip(im["u"][ok_idx].astype(int),
-                                                   0, self.w - 1)), 1:],
-                axis=-1))
+            g = im["grad_center"][ok_idx]
             self.pt_valid[rows] = True
             self.pt["u"][rows] = im["u"][ok_idx]
             self.pt["v"][rows] = im["v"][ok_idx]
@@ -1127,6 +1148,7 @@ class FullSystem:
         idp = np.concatenate(ids).astype(np.float32)
         wt = np.concatenate(ws).astype(np.float32)
         ok = (u >= 0) & (u < self.w) & (v >= 0) & (v < self.h) & (idp > 0)
+        (u, v, idp, wt, ok), _ = self._pad_bucket([u, v, idp, wt, ok])
         id0, w0 = splat_idepth(jnp.asarray(u), jnp.asarray(v),
                                jnp.asarray(idp), jnp.asarray(wt),
                                jnp.asarray(ok), self.w, self.h)

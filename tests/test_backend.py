@@ -67,7 +67,7 @@ def _make_window(n_frames=4, n_pts=256, w=320, h=96, seed=0,
 
     colors, weights = [], []
     from sdv_loam_tpu.ops.trace import pattern_colors
-    col, wgt, _, _ = pattern_colors(dI[0][0], jnp.asarray(us), jnp.asarray(vs))
+    col, wgt, _, _, _ = pattern_colors(dI[0][0], jnp.asarray(us), jnp.asarray(vs))
 
     D = CPARS + 6 * F
     frame_prior = np.zeros((F, 6), np.float32)

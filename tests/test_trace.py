@@ -32,7 +32,7 @@ def _prep(w=320, h=96, step=0.7, n=256, seed=0):
 def test_trace_converges_to_gt_depth():
     seq, c, dI0, dI1, us, vs, z, K, KRKi, Kt, T10 = _prep()
     n = us.shape[0]
-    color, weights, gradH, finite = pattern_colors(dI0[0], jnp.asarray(us),
+    color, weights, gradH, finite, _ = pattern_colors(dI0[0], jnp.asarray(us),
                                                    jnp.asarray(vs))
     # wide prior interval around the true inverse depth
     id_gt = 1.0 / z
@@ -71,7 +71,7 @@ def test_trace_oob_points_flagged():
     # points whose idepth_min projects outside the image -> OOB
     us2 = np.full(n, 6.0, np.float32)
     vs2 = np.full(n, 6.0, np.float32)
-    color, weights, gradH, _ = pattern_colors(dI0[0], jnp.asarray(us2),
+    color, weights, gradH, _, _ = pattern_colors(dI0[0], jnp.asarray(us2),
                                               jnp.asarray(vs2))
     out = trace_points(
         jnp.asarray(us2), jnp.asarray(vs2),
@@ -90,7 +90,7 @@ def test_trace_oob_points_flagged():
 def test_activation_refines_depth():
     seq, c, dI0, dI1, us, vs, z, K, KRKi, Kt, T10 = _prep(n=128)
     n = us.shape[0]
-    color, weights, gradH, _ = pattern_colors(dI0[0], jnp.asarray(us),
+    color, weights, gradH, _, _ = pattern_colors(dI0[0], jnp.asarray(us),
                                               jnp.asarray(vs))
     F = 2
     # pair transforms host->target: pair id = host*F + target
@@ -122,7 +122,7 @@ def test_activation_refines_depth():
 def test_activation_sensor_points_fixed():
     seq, c, dI0, dI1, us, vs, z, K, KRKi, Kt, T10 = _prep(n=32)
     n = us.shape[0]
-    color, weights, gradH, _ = pattern_colors(dI0[0], jnp.asarray(us),
+    color, weights, gradH, _, _ = pattern_colors(dI0[0], jnp.asarray(us),
                                               jnp.asarray(vs))
     F = 2
     R_pair = np.tile(np.eye(3, dtype=np.float32), (F * F, 1, 1))
