@@ -348,3 +348,27 @@ def track_pyramid(pools, dI_new_pyr, Ks, T_init, aff_init, ref_aff, exposures,
     # affine sanity bounds (:824-835); affineOptMode > 0 here
     ok = ok & (jnp.abs(aff[0]) <= 1.2) & (jnp.abs(aff[1]) <= 200.0)
     return dict(T=T, aff=aff, res=last_res, flow=flow, ok=ok)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def track_coarsest_batch(pool, dI_new, K, T_tries, aff_init, ref_aff,
+                         exposures, cutoff_th, huber_th, max_iters: int = 10):
+    """Evaluate ALL pose hypotheses on the coarsest level in one dispatch.
+
+    TPU-native replacement for the reference's sequential retry ladder
+    (FullSystem::trackNewCoarse:341-398 + trackNewestCoarse on the coarsest
+    level): every hypothesis is LM-refined on the coarsest pyramid level in
+    parallel (vmap); the host then refines only the winner through the full
+    pyramid. The reference itself notes failed hypotheses "will only be
+    tried on the coarsest level, which is super fast anyway".
+
+    Returns dict(T (B,4,4), E (B,), n (B,)) after the coarsest-level LM.
+    """
+
+    def one(T0):
+        T, aff, r, _ = track_level(pool, dI_new, K, T0, aff_init, ref_aff,
+                                   exposures, cutoff_th, huber_th, max_iters)
+        return T, r["E"], r["n"]
+
+    T, E, n = jax.vmap(one)(T_tries)
+    return dict(T=T, E=E, n=n)

@@ -408,26 +408,50 @@ class FullSystem:
             tries.append(inv(fh_2_slast) @ T_lastF2s @ R)
         return tries
 
+    N_TRIES_CAP = 64  # padded hypothesis batch (31 normal / 53 at init)
+
     def _track_new_coarse(self, frame) -> bool:
         tries = self._motion_hypotheses()
         aff_last = self.shells[-2]["aff"].copy() if len(self.shells) >= 2 \
             else np.zeros(2)
+        coarsest = self.levels - 1
 
+        # Phase 1: LM-refine EVERY hypothesis on the coarsest level in one
+        # batched dispatch (TPU replacement for the sequential retry ladder;
+        # see ops.photometric.track_coarsest_batch).
+        B = self.N_TRIES_CAP
+        T_batch = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+        nt = min(len(tries), B)
+        T_batch[:nt] = np.stack(tries[:nt]).astype(np.float32)
+        from sdv_loam_tpu.ops.photometric import track_coarsest_batch
+        cb = jax.device_get(track_coarsest_batch(
+            self.track_ref[coarsest], frame["dI"][coarsest], self.Ks[coarsest],
+            jnp.asarray(T_batch), jnp.asarray(aff_last, jnp.float32),
+            jnp.asarray(self.track_ref_aff, jnp.float32),
+            jnp.asarray([1.0, 1.0], jnp.float32),
+            self.s.coarse_cutoff_th, self.s.huber_th))
+        e = np.where(cb["n"][:nt] > 20, cb["E"][:nt] /
+                     np.maximum(cb["n"][:nt], 1), np.inf)
+        e = np.where(np.isfinite(e), e, np.inf)
+        order = list(np.argsort(e))
+        # prefer the constant-motion hypothesis when it is competitive
+        if e[0] < np.inf and e[0] <= e[order[0]] * 1.05:
+            order = [0] + [i for i in order if i != 0]
+
+        # Phase 2: full-pyramid refinement of the best candidates
         achieved = np.full(5, np.nan)
         best = None
         have_good = False
-        coarsest = self.levels - 1
-        for i, T_try in enumerate(tries):
-            out = track_pyramid(
+        for i in order[:3]:
+            out = jax.device_get(track_pyramid(
                 self.track_ref, frame["dI"], self.Ks,
-                jnp.asarray(T_try, jnp.float32),
+                jnp.asarray(cb["T"][i], jnp.float32),
                 jnp.asarray(aff_last, jnp.float32),
                 jnp.asarray(self.track_ref_aff, jnp.float32),
                 jnp.asarray([1.0, 1.0], jnp.float32),
                 jnp.asarray(np.nan_to_num(achieved, nan=np.inf), jnp.float32),
                 self.s.coarse_cutoff_th, self.s.huber_th,
-                coarsest_lvl=coarsest)
-            out = jax.device_get(out)  # single batched d2h
+                coarsest_lvl=coarsest))
             res = np.asarray(out["res"], np.float64)
             ok = bool(out["ok"]) and np.isfinite(res[0])
             if ok and not (res[0] >= achieved[0]):
