@@ -162,3 +162,30 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     matched = jnp.where(is_edge, conv1, conv2) & cand
     matched = matched & jnp.isfinite(px_out).all(axis=-1)
     return dict(matched=matched, px=px_out)
+
+
+@partial(jax.jit, static_argnames=("w", "h", "max_level"))
+def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
+                              pts_valid, pts_quality,
+                              T_wc_stack, aff_stack, exposure_stack,
+                              dI0_stack, flat_pyr_stack, offsets, widths,
+                              heights, T_wc_targets, aff_targets,
+                              exposure_targets, K, ref_idx_stack,
+                              w: int, h: int, max_level: int):
+    """Match the point pool into SEVERAL target frames in one dispatch.
+
+    vmap of reproject_and_match over the target axis — used by the keyframe
+    matcher refresh, which matches the new KF's points into every older
+    window frame (makeKeyFrame:1113-1119). flat_pyr_stack: (S, T, 3);
+    T_wc_targets: (S, 4, 4); ref_idx_stack: (S, N).
+    Returns dict(matched (S, N), px (S, N, 2)).
+    """
+    def one(flat_pyr, T_t, aff_t, exp_t, ref_idx):
+        return reproject_and_match(
+            pts_u, pts_v, pts_idepth, pts_host, pts_type, pts_valid,
+            pts_quality, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
+            flat_pyr, offsets, widths, heights, T_t, aff_t, exp_t, K,
+            ref_idx, w=w, h=h, max_level=max_level)
+
+    return jax.vmap(one)(flat_pyr_stack, T_wc_targets, aff_targets,
+                         exposure_targets, ref_idx_stack)

@@ -1028,17 +1028,39 @@ class FullSystem:
             upd = m & hf
             self.matcher_px[upd, newest_slot] = px[upd]
             self.matcher_valid[upd, newest_slot] = True
-        # new frame's points -> each older frame
+        # new frame's points -> each older frame: one vmapped dispatch
         nf = self.pt_valid & (self.pt["host"] == newest_slot)
-        if nf.any():
-            T_wc = np.linalg.inv(self.T_cw)
-            for slot in self.order[:-1]:
-                fr = dict(dI=self.pyr_slots[slot])
-                res = self._match_into(fr, T_wc[slot], self.aff[slot],
-                                       host_filter=nf, target_slot=slot)
-                if res is None:
-                    continue
-                m, px, _ = res
+        old_slots = self.order[:-1]
+        if nf.any() and old_slots:
+            from sdv_loam_tpu.models.matcher import reproject_and_match_multi
+            T_cw = self.T_cw
+            T_wc = np.linalg.inv(T_cw)
+            S = self.F  # fixed batch: pad with the newest slot, masked out
+            tgt_slots = (old_slots + [newest_slot] * S)[:S]
+            flat_stack = jnp.stack([self.flat_slots[sl][0]
+                                    for sl in tgt_slots])
+            offs, ws, hs = self.flat_slots[newest_slot][1:4]
+            ref_idx = np.tile(self.pt["host"][None, :], (S, 1))
+            if len(self.order) == 2:
+                a, b = self.order[0], self.order[1]
+                for si, sl in enumerate(tgt_slots):
+                    ref_idx[si, :] = b if sl == a else a
+            out = jax.device_get(reproject_and_match_multi(
+                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+                jnp.asarray(self.pt["type"]), jnp.asarray(nf),
+                jnp.asarray(self.pt["quality"]),
+                jnp.asarray(T_wc, jnp.float32), jnp.asarray(self.aff),
+                jnp.asarray(self.exposure), self.dI0_stack,
+                flat_stack, offs, ws, hs,
+                jnp.asarray(T_wc[tgt_slots], jnp.float32),
+                jnp.asarray(self.aff[tgt_slots]),
+                jnp.asarray(self.exposure[tgt_slots]),
+                jnp.asarray(self.K0), jnp.asarray(ref_idx),
+                w=self.w, h=self.h, max_level=self.levels - 1))
+            for si, slot in enumerate(old_slots):
+                m = out["matched"][si]
+                px = out["px"][si]
                 upd = m & nf
                 self.matcher_px[upd, slot] = px[upd]
                 self.matcher_valid[upd, slot] = True
