@@ -662,7 +662,8 @@ class FullSystem:
         frame["shell"]["is_kf"] = True
         self.kf_shells.append(frame["shell"]["id"])
 
-        self._make_new_traces(frame, slot)
+        with self.telemetry.stage("kf.select"):
+            self._make_new_traces(frame, slot)
 
         # residuals: every existing active point x new frame
         pts_m = self.pt_valid & (self.pt["host"] != slot)
@@ -671,15 +672,20 @@ class FullSystem:
         self.res_is_new[pts_m, slot] = True
         self.matcher_valid[pts_m, slot] = False
 
-        self._activate_points(frame, slot)
-        self._refresh_matcher(frame, slot)
-        self._optimize_window(slot)
+        with self.telemetry.stage("kf.activate"):
+            self._activate_points(frame, slot)
+        with self.telemetry.stage("kf.matcher"):
+            self._refresh_matcher(frame, slot)
+        with self.telemetry.stage("kf.ba"):
+            self._optimize_window(slot)
         if self.is_lost:
             return
         self._remove_outliers()
-        self._set_coarse_tracking_ref(slot)
-        self._flag_points_for_removal_and_marginalize(slot)
-        self._marginalize_frames()
+        with self.telemetry.stage("kf.trackref"):
+            self._set_coarse_tracking_ref(slot)
+        with self.telemetry.stage("kf.marg"):
+            self._flag_points_for_removal_and_marginalize(slot)
+            self._marginalize_frames()
 
         self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
                                int(self.res_active.sum()),
