@@ -57,6 +57,7 @@ RES_OUTLIER = 2
 # pair precomputation
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def make_pairs(T_cw, T_cw_fej, aff, exposure, K):
     """Per (host, target) pair transforms, adjoints and brightness transfer.
 
@@ -904,3 +905,28 @@ def ba_optimize_jit(T_cw_fej, eps, calib, calib_zero, frame_valid,
                 T_cw_fej=T_cw_fej_out, new_state=lin_f["new_state"],
                 center=lin_f["center"], Hdd=sys_f["Hdd"], energy=E_f,
                 rmse=rmse)
+
+
+@partial(jax.jit, static_argnames=("n_frames", "w", "h"))
+def marginalize_points_full(T_cw_fej, eps, calib, frame_valid, aff, exposure,
+                            pt_u, pt_v, pt_idepth, pt_host, pt_color,
+                            pt_weights, pt_is_sensor, pt_prior_marg,
+                            marg_mask, res_active, res_state, matcher_px,
+                            matcher_valid, dI0_stack, frame_energy_th,
+                            n_frames: int, w: int, h: int,
+                            marg_weight_fac: float = 0.25):
+    """One-dispatch point marginalization: linearize at the current state and
+    fold flagged points into (dHM, dbM) (flagPointsForRemoval relinearize +
+    marginalizePointsF)."""
+    fvalid = frame_valid.astype(T_cw_fej.dtype)
+    T_cw = jnp.einsum("fij,fjk->fik", se3.se3_exp(eps), T_cw_fej)
+    pairs = make_pairs(T_cw, T_cw_fej, aff, exposure, calib)
+    lin = linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color,
+                              pt_weights, res_active, res_state, matcher_px,
+                              matcher_valid, pairs, dI0_stack,
+                              frame_energy_th, calib, w=w, h=h)
+    return marginalize_points(lin, pt_host, pt_is_sensor, pt_prior_marg,
+                              marg_mask, eps * fvalid[:, None],
+                              jnp.zeros(4, calib.dtype), pairs,
+                              n_frames=n_frames,
+                              marg_weight_fac=marg_weight_fac)

@@ -259,7 +259,7 @@ class FullSystem:
         self.shells.append(shell)
 
         frame = dict(dI=dI, abs_grad=abs_grad, scan=scan, shell=shell,
-                     exposure=1.0)
+                     exposure=1.0, flat=flatten_pyramid(dI))
 
         if not self.initialized:
             # first frame: stash as the initializer frame (setFirstFromLidar)
@@ -508,7 +508,7 @@ class FullSystem:
         Returns (matched (N,), px (N,2), world_pts (N,3)) or None."""
         if not self.pt_valid.any():
             return None
-        flat, offs, ws, hs = flatten_pyramid(frame["dI"])
+        flat, offs, ws, hs = frame.get("flat") or flatten_pyramid(frame["dI"])
         valid = self.pt_valid.copy()
         if host_filter is not None:
             valid &= host_filter
@@ -1239,27 +1239,25 @@ class FullSystem:
                                       > s.min_idepth_h_marg))
 
         if marg.any():
-            win = self._win_dict(newest_slot)
-            pairs = backend.make_pairs(
-                jnp.asarray(self.T_cw, jnp.float32), win["T_cw_fej"],
-                win["aff"], win["exposure"], win["calib"])
-            lin = backend.linearize_residuals(
-                win["pt_u"], win["pt_v"], win["pt_idepth"], win["pt_host"],
-                win["pt_color"], win["pt_weights"], win["res_active"],
-                win["res_state"], win["matcher_px"], win["matcher_valid"],
-                pairs, win["dI0_stack"], win["frame_energy_th"], win["calib"],
-                w=self.w, h=self.h)
             # priorF *= idepth_fix_prior_marg_fac (marginalizePointsF:529)
             prior_marg = np.where(self.pt["prior"] > 0,
                                   self.pt["prior"] * s.idepth_fix_prior_marg_fac,
                                   0.0)
-            dHM, dbM = backend.marginalize_points(
-                lin, win["pt_host"], win["pt_is_sensor"],
+            dHM, dbM = jax.device_get(backend.marginalize_points_full(
+                jnp.asarray(self.T_cw_fej, jnp.float32),
+                jnp.asarray(self.eps, jnp.float32),
+                jnp.asarray(self.K0), jnp.asarray(self.slot_used),
+                jnp.asarray(self.aff), jnp.asarray(self.exposure),
+                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+                jnp.asarray(self.pt["color"]), jnp.asarray(self.pt["weights"]),
+                jnp.asarray(self.pt["is_sensor"]),
                 jnp.asarray(prior_marg, jnp.float32), jnp.asarray(marg),
-                jnp.asarray(self.eps, jnp.float32)
-                * jnp.asarray(self.slot_used)[:, None].astype(jnp.float32),
-                jnp.zeros(4, jnp.float32), pairs, n_frames=self.F,
-                marg_weight_fac=s.marg_weight_fac)
+                jnp.asarray(self.res_active & self.pt_valid[:, None]),
+                jnp.asarray(self.res_state), jnp.asarray(self.matcher_px),
+                jnp.asarray(self.matcher_valid), self.dI0_stack,
+                jnp.asarray(self.fe_th), n_frames=self.F, w=self.w, h=self.h,
+                marg_weight_fac=s.marg_weight_fac))
             self.HM += np.asarray(dHM, np.float64)
             self.bM += np.asarray(dbM, np.float64)
 
