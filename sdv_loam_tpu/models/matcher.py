@@ -107,11 +107,22 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         jnp.where(tie, cell, n_cells)].min(jnp.where(tie, idxs, N))
     winner = tie & (cell_mini[cell] == idxs)
 
-    # --- findMatchDirect for winners (computed for all lanes, masked) ---
-    ref_idx = jnp.clip(ref_idx_per_point, 0, T_wc_stack.shape[0] - 1)
+    # --- compact to the per-cell winner lanes: at most one candidate per
+    # grid cell exists, so the expensive warp+align runs on an
+    # M = n_cells-sized batch instead of all N points ---
+    M = -(-n_cells // 8) * 8
+    (cidx,) = jnp.nonzero(winner, size=M, fill_value=0)
+    lane_valid = jnp.arange(M) < winner.sum()
+
+    pw_c = pw[cidx]
+    px_t_c = px_t[cidx]
+    type_c = pts_type[cidx]
+
+    # --- findMatchDirect for compacted winners ---
+    ref_idx = jnp.clip(ref_idx_per_point, 0, T_wc_stack.shape[0] - 1)[cidx]
     T_wc_r = T_wc_stack[ref_idx]
     T_rw = se3.inverse(T_wc_r)
-    pf_r = jnp.einsum("nij,nj->ni", T_rw[:, :3, :3], pw) + T_rw[:, :3, 3]
+    pf_r = jnp.einsum("nij,nj->ni", T_rw[:, :3, :3], pw_c) + T_rw[:, :3, 3]
     z_r = pf_r[:, 2]
     zs = jnp.where(z_r == 0, 1e-9, z_r)
     px_r = jnp.stack([fx * pf_r[:, 0] / zs + cx,
@@ -120,7 +131,7 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     ref_ok = ((z_r > 0)
               & (pxi_r[:, 0] >= REF_BOUNDARY) & (pxi_r[:, 0] < w - REF_BOUNDARY)
               & (pxi_r[:, 1] >= REF_BOUNDARY) & (pxi_r[:, 1] < h - REF_BOUNDARY))
-    cand = winner & ref_ok
+    cand = lane_valid & ref_ok
 
     # affine warp + search level (per candidate, vmapped over ref poses)
     T_cur_ref = jnp.einsum("ij,njk->nik", T_tw, T_wc_r)
@@ -139,7 +150,7 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     b_rel = aff_target[1] - a_rel * aff_stack[ref_idx, 1]
 
     scale = (1 << lvl).astype(jnp.float32)
-    px_scaled = px_t / scale[:, None]
+    px_scaled = px_t_c / scale[:, None]
 
     px2, conv2 = align2d_batch(flat_pyr, offsets, widths, heights, lvl,
                                patches, px_scaled, a_rel, b_rel, cand)
@@ -157,10 +168,16 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                                patches, px_scaled, dir_cur, a_rel, b_rel,
                                cand)
 
-    is_edge = pts_type == 1
-    px_out = jnp.where(is_edge[:, None], px1, px2) * scale[:, None]
-    matched = jnp.where(is_edge, conv1, conv2) & cand
-    matched = matched & jnp.isfinite(px_out).all(axis=-1)
+    is_edge = type_c == 1
+    px_c = jnp.where(is_edge[:, None], px1, px2) * scale[:, None]
+    m_c = jnp.where(is_edge, conv1, conv2) & cand
+    m_c = m_c & jnp.isfinite(px_c).all(axis=-1)
+
+    # scatter back to the full pool layout
+    matched = jnp.zeros((N,), bool).at[jnp.where(m_c, cidx, N)].max(
+        m_c, mode="drop")
+    px_out = jnp.zeros((N, 2), px_c.dtype).at[
+        jnp.where(m_c, cidx, N)].set(px_c, mode="drop")
     return dict(matched=matched, px=px_out)
 
 
