@@ -1,0 +1,88 @@
+"""Fused per-frame tracking step — one device program per frame.
+
+Composes the full frame-tracking pipeline of the reference
+(FullSystem::trackNewCoarse, FullSystem.cpp:283-517) into a single jit:
+
+  1. batched LM of all pose hypotheses on the coarsest pyramid level
+     (the 31-try retry ladder, :341-398);
+  2. device-side winner selection (constant-motion hypothesis preferred when
+     competitive — the reference tries it first and early-accepts);
+  3. full coarse-to-fine photometric refinement of the winner
+     (trackNewestCoarse);
+  4. Reprojector matching of the window map into the new frame at the
+     refined pose (reprojectMap, :483-485);
+  5. struct (reprojection) pose LM with Tukey weights
+     (structPoseEstimation, :488).
+
+Host reads back one pytree: refined pose, camToWorld after struct pose,
+flow indicators, per-level residuals, ok flag, match count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sdv_loam_tpu.models.matcher import reproject_and_match
+from sdv_loam_tpu.ops.photometric import track_coarsest_batch, track_pyramid
+from sdv_loam_tpu.ops.struct_pose import struct_pose_estimate
+from sdv_loam_tpu.utils import se3
+
+
+@partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level"))
+def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
+                     Ks, T_tries, aff_last, ref_aff, exposures,
+                     min_res_for_abort, ref_T_wc,
+                     pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
+                     pt_quality, T_wc_stack, aff_stack, exposure_stack,
+                     dI0_stack, ref_idx_per_point, K0,
+                     cutoff_th, huber_th,
+                     coarsest_lvl: int, w: int, h: int, max_level: int):
+    """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched)."""
+    # 1. batched hypothesis ladder on the coarsest level
+    cb = track_coarsest_batch(pools[coarsest_lvl], dI_new_pyr[coarsest_lvl],
+                              Ks[coarsest_lvl], T_tries, aff_last, ref_aff,
+                              exposures, cutoff_th, huber_th)
+    e = jnp.where(cb["n"] > 20, cb["E"] / jnp.maximum(cb["n"], 1), jnp.inf)
+    e = jnp.where(jnp.isfinite(e), e, jnp.inf)
+    # prefer hypothesis 0 (constant motion) when within 5% of the best
+    best = jnp.argmin(e)
+    best = jnp.where(e[0] <= e[best] * 1.05, 0, best)
+    T_best = cb["T"][best]
+
+    # 2. full-pyramid refinement of the winner
+    tr = track_pyramid(pools, dI_new_pyr, Ks, T_best, aff_last, ref_aff,
+                       exposures, min_res_for_abort, cutoff_th, huber_th,
+                       coarsest_lvl=coarsest_lvl)
+    T_ref2fh = tr["T"]
+    T_wc_fh = ref_T_wc @ se3.inverse(T_ref2fh)
+
+    # 3. semi-direct matching of the window map into the new frame
+    match = reproject_and_match(
+        pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid, pt_quality,
+        T_wc_stack, aff_stack, exposure_stack, dI0_stack,
+        flat_new, offsets, widths, heights,
+        T_wc_fh, tr["aff"], exposures[1], K0, ref_idx_per_point,
+        w=w, h=h, max_level=max_level)
+    n_matched = match["matched"].sum()
+
+    # 4. struct pose refinement against the matched pixels
+    fx, fy, cx, cy = K0[0], K0[1], K0[2], K0[3]
+    xn = (pt_u - cx) / fx
+    yn = (pt_v - cy) / fy
+    pr = jnp.stack([xn, yn, jnp.ones_like(xn)], -1) / \
+        jnp.maximum(pt_idepth, 1e-9)[:, None]
+    T_wc_h = T_wc_stack[jnp.clip(pt_host, 0, T_wc_stack.shape[0] - 1)]
+    pw = jnp.einsum("nij,nj->ni", T_wc_h[:, :3, :3], pr) + T_wc_h[:, :3, 3]
+    sp = struct_pose_estimate(T_wc_fh, pw, match["px"], match["matched"],
+                              K0, w, h)
+    # only adopt the struct pose when enough matches constrain it
+    T_wc_out = jnp.where(n_matched >= 10, sp["T_cur_to_world"], T_wc_fh)
+    T_wc_out = jnp.where(jnp.isfinite(T_wc_out).all(), T_wc_out, T_wc_fh)
+
+    return dict(T_ref_to_fh=T_ref2fh, T_wc=T_wc_out, aff=tr["aff"],
+                res=tr["res"], flow=tr["flow"], ok=tr["ok"],
+                n_matched=n_matched, best_try=best,
+                matched=match["matched"], match_px=match["px"])

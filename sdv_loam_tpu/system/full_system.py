@@ -411,95 +411,78 @@ class FullSystem:
     N_TRIES_CAP = 64  # padded hypothesis batch (31 normal / 53 at init)
 
     def _track_new_coarse(self, frame) -> bool:
+        """Fused frame tracking: hypothesis ladder + pyramid LM + matcher +
+        struct pose in ONE device program (ops.frame_step.track_frame_step).
+        """
+        from sdv_loam_tpu.ops.frame_step import track_frame_step
         tries = self._motion_hypotheses()
         aff_last = self.shells[-2]["aff"].copy() if len(self.shells) >= 2 \
             else np.zeros(2)
         coarsest = self.levels - 1
 
-        # Phase 1: LM-refine EVERY hypothesis on the coarsest level in one
-        # batched dispatch (TPU replacement for the sequential retry ladder;
-        # see ops.photometric.track_coarsest_batch).
         B = self.N_TRIES_CAP
         T_batch = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         nt = min(len(tries), B)
         T_batch[:nt] = np.stack(tries[:nt]).astype(np.float32)
-        from sdv_loam_tpu.ops.photometric import track_coarsest_batch
-        cb = jax.device_get(track_coarsest_batch(
-            self.track_ref[coarsest], frame["dI"][coarsest], self.Ks[coarsest],
+
+        ref_shell = self.shells[self.frame_shell_idx[self.track_ref_slot]]
+        n_window = len(self.order)
+        ref_idx = self.pt["host"].copy()
+        # findMatchDirect:242-252 window<=2 special case (target = new frame)
+        if n_window == 2:
+            ref_idx[:] = self.order[0]
+
+        T_cw = self.T_cw
+        T_wc_stack = np.linalg.inv(T_cw)
+        flat, offs, ws, hs = frame["flat"]
+        out = jax.device_get(track_frame_step(
+            self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
             jnp.asarray(T_batch), jnp.asarray(aff_last, jnp.float32),
             jnp.asarray(self.track_ref_aff, jnp.float32),
             jnp.asarray([1.0, 1.0], jnp.float32),
-            self.s.coarse_cutoff_th, self.s.huber_th))
-        e = np.where(cb["n"][:nt] > 20, cb["E"][:nt] /
-                     np.maximum(cb["n"][:nt], 1), np.inf)
-        e = np.where(np.isfinite(e), e, np.inf)
-        order = list(np.argsort(e))
-        # prefer the constant-motion hypothesis when it is competitive
-        if e[0] < np.inf and e[0] <= e[order[0]] * 1.05:
-            order = [0] + [i for i in order if i != 0]
+            jnp.full((5,), jnp.inf, jnp.float32),
+            jnp.asarray(ref_shell["T_wc"], jnp.float32),
+            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+            jnp.asarray(self.pt["type"]), jnp.asarray(self.pt_valid),
+            jnp.asarray(self.pt["quality"]),
+            jnp.asarray(T_wc_stack, jnp.float32), jnp.asarray(self.aff),
+            jnp.asarray(self.exposure), self.dI0_stack,
+            jnp.asarray(ref_idx), jnp.asarray(self.K0),
+            self.s.coarse_cutoff_th, self.s.huber_th,
+            coarsest_lvl=coarsest, w=self.w, h=self.h,
+            max_level=self.levels - 1))
 
-        # Phase 2: full-pyramid refinement of the best candidates
-        achieved = np.full(5, np.nan)
-        best = None
-        have_good = False
-        for i in order[:3]:
-            out = jax.device_get(track_pyramid(
-                self.track_ref, frame["dI"], self.Ks,
-                jnp.asarray(cb["T"][i], jnp.float32),
-                jnp.asarray(aff_last, jnp.float32),
-                jnp.asarray(self.track_ref_aff, jnp.float32),
-                jnp.asarray([1.0, 1.0], jnp.float32),
-                jnp.asarray(np.nan_to_num(achieved, nan=np.inf), jnp.float32),
-                self.s.coarse_cutoff_th, self.s.huber_th,
-                coarsest_lvl=coarsest))
-            res = np.asarray(out["res"], np.float64)
-            ok = bool(out["ok"]) and np.isfinite(res[0])
-            if ok and not (res[0] >= achieved[0]):
-                best = (np.asarray(out["T"], np.float64),
-                        np.asarray(out["aff"], np.float64),
-                        np.asarray(out["flow"], np.float64))
-                have_good = True
-            if have_good:
-                upd = ~np.isfinite(achieved[:coarsest + 1]) | \
-                    (achieved[:coarsest + 1] > res[:coarsest + 1])
-                achieved[:coarsest + 1][upd] = res[:coarsest + 1][upd]
-            if have_good and achieved[0] < self.last_coarse_rmse[0] * \
-                    self.s.re_track_threshold:
-                break
+        res = np.asarray(out["res"], np.float64)
+        flow = np.asarray(out["flow"], np.float64)
+        ok = bool(out["ok"]) and np.isfinite(res[0]) and \
+            np.isfinite(np.asarray(out["T_wc"])).all()
+        if not ok:
+            # reference fallback: keep the predicted pose and hope to recover
+            # (trackNewCoarse:462-468)
+            res = np.where(np.isfinite(res), res, 100.0)
+            flow = np.zeros(3)
+            T_ref2fh = tries[0]
+            T_wc = ref_shell["T_wc"] @ np.linalg.inv(T_ref2fh)
+            aff_fh = aff_last
+        else:
+            T_ref2fh = np.asarray(out["T_ref_to_fh"], np.float64)
+            T_wc = np.asarray(out["T_wc"], np.float64)
+            aff_fh = np.asarray(out["aff"], np.float64)
 
-        if not have_good:
-            best = (tries[0], aff_last, np.zeros(3))
-        self.last_coarse_rmse = achieved.copy()
-        T_lastF_2_fh, aff_fh, flow = best
-        if not np.all(np.isfinite(T_lastF_2_fh)):
-            return False
+        self.last_coarse_rmse = np.concatenate([res, [res[-1]] * (5 - len(res))]) \
+            if len(res) < 5 else res.copy()
 
-        ref_shell = self.shells[self.frame_shell_idx[self.track_ref_slot]]
         shell = frame["shell"]
         shell["aff"] = np.asarray(aff_fh)
-        shell["T_wc"] = ref_shell["T_wc"] @ np.linalg.inv(T_lastF_2_fh)
+        shell["T_wc"] = T_wc
         shell["tracking_ref"] = ref_shell["id"]
 
-        # --- stage 2: struct (reprojection) pose refinement ---
-        matched = self._match_into(frame, shell["T_wc"], shell["aff"])
-        if matched is not None:
-            m, px, pw = matched
-            if m.sum() >= 10:
-                out = struct_pose_estimate(
-                    jnp.asarray(shell["T_wc"], jnp.float32),
-                    jnp.asarray(pw, jnp.float32), jnp.asarray(px, jnp.float32),
-                    jnp.asarray(m),
-                    jnp.asarray(self.K0), self.w, self.h)
-                T_new = np.asarray(jax.device_get(out["T_cur_to_world"]),
-                                   np.float64)
-                if np.all(np.isfinite(T_new)):
-                    shell["T_wc"] = T_new
-
         if self.first_coarse_rmse < 0:
-            self.first_coarse_rmse = achieved[0]
+            self.first_coarse_rmse = res[0]
         frame["flow"] = flow
-        frame["track_rmse"] = achieved[0]
-        return np.isfinite(flow).all() and np.isfinite(achieved[0])
+        frame["track_rmse"] = res[0]
+        return bool(np.isfinite(flow).all() and np.isfinite(res[0]))
 
     def _match_into(self, frame, T_wc_target, aff_target,
                     host_filter=None, target_slot=None):
