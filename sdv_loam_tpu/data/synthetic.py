@@ -88,10 +88,11 @@ def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0):
         num = (pl.p0 - origins) @ pl.n
         with np.errstate(divide="ignore", invalid="ignore"):
             t = num / denom
-        ok = (denom < -1e-9) & (t > t_min) & (t < t_max)
-        hit = origins + t[:, None] * dirs
-        u = (hit - pl.p0) @ pl.eu
-        v = (hit - pl.p0) @ pl.ev
+            ok = (denom < -1e-9) & (t > t_min) & (t < t_max)
+            t_safe = np.where(ok, t, 1.0)
+            hit = origins + t_safe[:, None] * dirs
+            u = (hit - pl.p0) @ pl.eu
+            v = (hit - pl.p0) @ pl.ev
         if pl.bounds is not None:
             umin, umax, vmin, vmax = pl.bounds
             ok &= (u >= umin) & (u <= umax) & (v >= vmin) & (v <= vmax)
