@@ -33,23 +33,25 @@ from sdv_loam_tpu.utils import se3
 
 @partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level"))
 def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
-                     Ks, T_tries, aff_last, ref_aff, exposures,
+                     Ks, T_tries, try_exclude, aff_last, ref_aff, exposures,
                      min_res_for_abort, ref_T_wc,
                      pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
                      pt_quality, T_wc_stack, aff_stack, exposure_stack,
                      dI0_stack, ref_idx_per_point, K0,
                      cutoff_th, huber_th,
                      coarsest_lvl: int, w: int, h: int, max_level: int):
-    """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched)."""
+    """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
+    best_try) — `try_exclude` masks hypotheses already consumed by a host
+    retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
     # 1. batched hypothesis ladder on the coarsest level
     cb = track_coarsest_batch(pools[coarsest_lvl], dI_new_pyr[coarsest_lvl],
                               Ks[coarsest_lvl], T_tries, aff_last, ref_aff,
                               exposures, cutoff_th, huber_th)
     e = jnp.where(cb["n"] > 20, cb["E"] / jnp.maximum(cb["n"], 1), jnp.inf)
-    e = jnp.where(jnp.isfinite(e), e, jnp.inf)
+    e = jnp.where(jnp.isfinite(e) & (~try_exclude), e, jnp.inf)
     # prefer hypothesis 0 (constant motion) when within 5% of the best
     best = jnp.argmin(e)
-    best = jnp.where(e[0] <= e[best] * 1.05, 0, best)
+    best = jnp.where((e[0] <= e[best] * 1.05) & (~try_exclude[0]), 0, best)
     T_best = cb["T"][best]
 
     # 2. full-pyramid refinement of the winner

@@ -435,28 +435,49 @@ class FullSystem:
         T_cw = self.T_cw
         T_wc_stack = np.linalg.inv(T_cw)
         flat, offs, ws, hs = frame["flat"]
-        out = jax.device_get(track_frame_step(
-            self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
-            jnp.asarray(T_batch), jnp.asarray(aff_last, jnp.float32),
-            jnp.asarray(self.track_ref_aff, jnp.float32),
-            jnp.asarray([1.0, 1.0], jnp.float32),
-            jnp.full((5,), jnp.inf, jnp.float32),
-            jnp.asarray(ref_shell["T_wc"], jnp.float32),
-            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-            jnp.asarray(self.pt["type"]), jnp.asarray(self.pt_valid),
-            jnp.asarray(self.pt["quality"]),
-            jnp.asarray(T_wc_stack, jnp.float32), jnp.asarray(self.aff),
-            jnp.asarray(self.exposure), self.dI0_stack,
-            jnp.asarray(ref_idx), jnp.asarray(self.K0),
-            self.s.coarse_cutoff_th, self.s.huber_th,
-            coarsest_lvl=coarsest, w=self.w, h=self.h,
-            max_level=self.levels - 1))
+
+        # re-track ladder: up to 3 attempts, excluding consumed hypotheses
+        # (trackNewCoarse:429-457 — accept when the residual beats
+        # lastCoarseRMSE * re_track_threshold)
+        exclude = np.zeros(self.N_TRIES_CAP, bool)
+        exclude[nt:] = True
+        last_rmse = self.last_coarse_rmse[0]
+        best_out, best_res0 = None, np.inf
+        for attempt in range(3):
+            out = jax.device_get(track_frame_step(
+                self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
+                jnp.asarray(T_batch), jnp.asarray(exclude),
+                jnp.asarray(aff_last, jnp.float32),
+                jnp.asarray(self.track_ref_aff, jnp.float32),
+                jnp.asarray([1.0, 1.0], jnp.float32),
+                jnp.full((5,), jnp.inf, jnp.float32),
+                jnp.asarray(ref_shell["T_wc"], jnp.float32),
+                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+                jnp.asarray(self.pt["type"]), jnp.asarray(self.pt_valid),
+                jnp.asarray(self.pt["quality"]),
+                jnp.asarray(T_wc_stack, jnp.float32), jnp.asarray(self.aff),
+                jnp.asarray(self.exposure), self.dI0_stack,
+                jnp.asarray(ref_idx), jnp.asarray(self.K0),
+                self.s.coarse_cutoff_th, self.s.huber_th,
+                coarsest_lvl=coarsest, w=self.w, h=self.h,
+                max_level=self.levels - 1))
+            r0 = float(np.asarray(out["res"])[0])
+            o = bool(out["ok"]) and np.isfinite(r0) and \
+                np.isfinite(np.asarray(out["T_wc"])).all()
+            if o and r0 < best_res0:
+                best_out, best_res0 = out, r0
+            if o and (not np.isfinite(last_rmse)
+                      or r0 < last_rmse * self.s.re_track_threshold):
+                break
+            exclude[int(out["best_try"])] = True
+            if exclude[:nt].all():
+                break
+        out = best_out if best_out is not None else out
 
         res = np.asarray(out["res"], np.float64)
         flow = np.asarray(out["flow"], np.float64)
-        ok = bool(out["ok"]) and np.isfinite(res[0]) and \
-            np.isfinite(np.asarray(out["T_wc"])).all()
+        ok = best_out is not None
         if not ok:
             # reference fallback: keep the predicted pose and hope to recover
             # (trackNewCoarse:462-468)
@@ -470,8 +491,7 @@ class FullSystem:
             T_wc = np.asarray(out["T_wc"], np.float64)
             aff_fh = np.asarray(out["aff"], np.float64)
 
-        self.last_coarse_rmse = np.concatenate([res, [res[-1]] * (5 - len(res))]) \
-            if len(res) < 5 else res.copy()
+        self.last_coarse_rmse = np.where(np.isfinite(res), res, 100.0)
 
         shell = frame["shell"]
         shell["aff"] = np.asarray(aff_fh)
