@@ -80,6 +80,8 @@ def make_pairs(T_cw, T_cw_fej, aff, exposure, K):
 
     R0 = T_th_fej[:, :3, :3]
     t0 = T_th_fej[:, :3, 3]
+    Rc = T_th[:, :3, :3]
+    tc = T_th[:, :3, 3]
     KRKi = jnp.einsum("ij,pjk,kl->pil", Km, T_th[:, :3, :3], Kim)
     Kt = jnp.einsum("ij,pj->pi", Km, T_th[:, :3, 3])
 
@@ -92,8 +94,9 @@ def make_pairs(T_cw, T_cw_fej, aff, exposure, K):
     b_rel = aff[ti, 1] - a_rel * aff[hi, 1]
     b0 = aff[hi, 1]  # PRE_b0_mode — host b at its zero point
 
-    return dict(host=hi, target=ti, R0=R0, t0=t0, KRKi=KRKi, Kt=Kt,
-                adH=adH, adT=adT, aff_a=a_rel, aff_b=b_rel, b0=b0)
+    return dict(host=hi, target=ti, R0=R0, t0=t0, Rc=Rc, tc=tc,
+                KRKi=KRKi, Kt=Kt, adH=adH, adT=adT, aff_a=a_rel,
+                aff_b=b_rel, b0=b0)
 
 
 # ---------------------------------------------------------------------------
@@ -129,19 +132,31 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     pair_idx = pt_host[:, None] * F + jnp.arange(F)[None, :]     # (N, F)
     R0 = pairs["R0"][pair_idx]
     t0 = pairs["t0"][pair_idx]
+    Rc = pairs["Rc"][pair_idx]
+    tc = pairs["tc"][pair_idx]
 
-    # --- center projection at FEJ pose, current idepth ---
     KliP = jnp.stack([(pt_u - cx) * fxi, (pt_v - cy) * fyi,
                       jnp.ones_like(pt_u)], -1)                   # (N, 3)
+
+    # --- center projection at the CURRENT pose (the measured residual;
+    # DSO evaluates residuals at the current state, Jacobians at FEJ) ---
+    ptc = jnp.einsum("nfij,nj->nfi", Rc, KliP) + \
+        tc * pt_idepth[:, None, None]
+    drescale_c = 1.0 / ptc[..., 2]
+    new_idepth = pt_idepth[:, None] * drescale_c
+    Ku = ptc[..., 0] * drescale_c * fx + cx
+    Kv = ptc[..., 1] * drescale_c * fy + cy
+    proj_ok_c = (drescale_c > 0) & (Ku > 1.1) & (Kv > 1.1) & \
+        (Ku < w - 3) & (Kv < h - 3)
+
+    # --- FEJ projection: Jacobian evaluation point (Residuals.cpp:93-96) ---
     ptp = jnp.einsum("nfij,nj->nfi", R0, KliP) + \
         t0 * pt_idepth[:, None, None]
     drescale = 1.0 / ptp[..., 2]
-    new_idepth = pt_idepth[:, None] * drescale
+    new_idepth0 = pt_idepth[:, None] * drescale
     u = ptp[..., 0] * drescale
     v = ptp[..., 1] * drescale
-    Ku = u * fx + cx
-    Kv = v * fy + cy
-    proj_ok = (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) & (Ku < w - 3) & (Kv < h - 3)
+    proj_ok = proj_ok_c & (drescale > 0)
 
     oob = (~proj_ok) | (~matcher_valid) | (res_state == RES_OOB) | (~res_active)
 
@@ -160,11 +175,11 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     Jc_x = jnp.stack([dCx0 + u, dCx1, dCx2 + 1.0, dCx3], -1)
     Jc_y = jnp.stack([dCy0, dCy1 + v, dCy2, dCy3 + 1.0], -1)
 
-    Jxi_x = jnp.stack([new_idepth * fx, jnp.zeros_like(u),
-                       -new_idepth * u * fx, -u * v * fx,
+    Jxi_x = jnp.stack([new_idepth0 * fx, jnp.zeros_like(u),
+                       -new_idepth0 * u * fx, -u * v * fx,
                        (1 + u * u) * fx, -v * fx], -1)
-    Jxi_y = jnp.stack([jnp.zeros_like(u), new_idepth * fy,
-                       -new_idepth * v * fy, -(1 + v * v) * fy,
+    Jxi_y = jnp.stack([jnp.zeros_like(u), new_idepth0 * fy,
+                       -new_idepth0 * v * fy, -(1 + v * v) * fy,
                        u * v * fy, u * fy], -1)
 
     # --- photometric outlier gate at current pose (Residuals.cpp:157-194) ---
@@ -323,12 +338,9 @@ def build_system(lin, pt_host, pt_is_sensor, pt_prior, pairs,
     e_quad).
     """
     F = n_frames
-    dp_pair = pair_deltas(pairs, frame_delta, F)
     pair_idx0 = pt_host[:, None] * F + jnp.arange(F)[None, :]
-    dp = dp_pair[pair_idx0]                                  # (N, F, 6)
-    resF = lin["resF"] + jnp.einsum("nfai,nfi->nfa", lin["Jxi"], dp) + \
-        jnp.einsum("nfai,i->nfa", lin["Jc"], c_delta)
-    resF = jnp.where((lin["new_state"] == RES_IN)[..., None], resF, 0.0)
+    resF = jnp.where((lin["new_state"] == RES_IN)[..., None],
+                     lin["resF"], 0.0)
     Jxi = lin["Jxi"]
     Jc = lin["Jc"]
     Jd = lin["Jd"]
@@ -682,12 +694,8 @@ def ba_optimize(win, settings, max_iters: int):
     def total_energy(lin, pairs_, eps_, calib_):
         c_delta = calib_ - win["calib_zero"]
         dstt = stitched_delta(c_delta, eps_, win["frame_valid"])
-        dp_pair = pair_deltas(pairs_, eps_ * win["frame_valid"][:, None], F)
-        pidx = win["pt_host"][:, None] * F + jnp.arange(F)[None, :]
-        resA = lin["resF"] + \
-            jnp.einsum("nfai,nfi->nfa", lin["Jxi"], dp_pair[pidx]) + \
-            jnp.einsum("nfai,i->nfa", lin["Jc"], c_delta)
-        resA = jnp.where((lin["new_state"] == RES_IN)[..., None], resA, 0.0)
+        resA = jnp.where((lin["new_state"] == RES_IN)[..., None],
+                         lin["resF"], 0.0)
         e_a = jnp.sum(resA * resA)
         e_m = marg_energy(win["HM"], win["bM"], dstt)
         e_p = prior_energy(win["c_prior"], c_delta, win["frame_prior"],
@@ -817,14 +825,12 @@ def ba_optimize_jit(T_cw_fej, eps, calib, calib_zero, frame_valid,
                                                           mask))
 
     def total_energy(lin, pairs_, eps_, calib_):
+        # residuals are measured at the current state (DSO scheme), so the
+        # active energy is their plain weighted square sum
         c_delta = calib_ - calib_zero
         dstt = stitched_delta(c_delta, eps_, frame_valid)
-        dp_pair = pair_deltas(pairs_, eps_ * fvalid_f[:, None], F)
-        pidx = pt_host[:, None] * F + jnp.arange(F)[None, :]
-        resA = lin["resF"] + \
-            jnp.einsum("nfai,nfi->nfa", lin["Jxi"], dp_pair[pidx]) + \
-            jnp.einsum("nfai,i->nfa", lin["Jc"], c_delta)
-        resA = jnp.where((lin["new_state"] == RES_IN)[..., None], resA, 0.0)
+        resA = jnp.where((lin["new_state"] == RES_IN)[..., None],
+                         lin["resF"], 0.0)
         return (jnp.sum(resA * resA) + marg_energy(HM, bM, dstt)
                 + prior_energy(c_prior, c_delta, frame_prior,
                                eps_ * fvalid_f[:, None]))

@@ -50,14 +50,28 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     e = jnp.where(cb["n"] > 20, cb["E"] / jnp.maximum(cb["n"], 1), jnp.inf)
     e = jnp.where(jnp.isfinite(e) & (~try_exclude), e, jnp.inf)
     # prefer hypothesis 0 (constant motion) when within 5% of the best
-    best = jnp.argmin(e)
-    best = jnp.where((e[0] <= e[best] * 1.05) & (~try_exclude[0]), 0, best)
-    T_best = cb["T"][best]
+    first = jnp.argmin(e)
+    first = jnp.where((e[0] <= e[first] * 1.05) & (~try_exclude[0]), 0, first)
 
-    # 2. full-pyramid refinement of the winner
-    tr = track_pyramid(pools, dI_new_pyr, Ks, T_best, aff_last, ref_aff,
-                       exposures, min_res_for_abort, cutoff_th, huber_th,
-                       coarsest_lvl=coarsest_lvl)
+    # 2. full-pyramid refinement of the TOP-3 candidates in parallel; keep
+    # the one with the lowest level-0 residual (the reference's achievedRes
+    # bookkeeping across its sequential re-track attempts)
+    _, top = jax.lax.top_k(-e.at[first].set(-jnp.inf), 3)
+    cand_idx = jnp.concatenate([first[None], top[1:]])
+
+    def refine(T0):
+        return track_pyramid(pools, dI_new_pyr, Ks, T0, aff_last, ref_aff,
+                             exposures, min_res_for_abort, cutoff_th,
+                             huber_th, coarsest_lvl=coarsest_lvl)
+
+    trs = jax.vmap(refine)(cb["T"][cand_idx])
+    score = jnp.where(trs["ok"] & jnp.isfinite(trs["res"][:, 0]),
+                      trs["res"][:, 0], jnp.inf)
+    # small bias toward the first (constant-motion-preferred) candidate
+    score = score * jnp.array([1.0, 1.02, 1.02])
+    kbest = jnp.argmin(score)
+    tr = jax.tree.map(lambda x: x[kbest], trs)
+    best = cand_idx[kbest]
     T_ref2fh = tr["T"]
     T_wc_fh = ref_T_wc @ se3.inverse(T_ref2fh)
 
