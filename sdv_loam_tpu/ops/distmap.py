@@ -21,17 +21,9 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("w1", "h1", "iters"))
-def distance_map(u1, v1, valid, w1: int, h1: int, iters: int = 32):
-    """Distance transform seeded at projected active points.
-
-    u1, v1: (N,) level-1 integer pixel coords; valid: (N,).
-    Returns (h1, w1) float distances (chamfer-1 metric, like the BFS)."""
-    idx = jnp.where(valid & (u1 > 0) & (v1 > 0) & (u1 < w1) & (v1 < h1),
-                    v1 * w1 + u1, w1 * h1)
-    seed = jnp.full((w1 * h1 + 1,), 1000.0, jnp.float32).at[idx].min(
-        jnp.where(valid, 0.0, 1000.0))
-    d = seed[:w1 * h1].reshape(h1, w1)
+def _relax_jnp(seed: jnp.ndarray, iters: int):
+    """Iterated 8-neighborhood min-plus relaxation (jnp reference path)."""
+    h1, w1 = seed.shape
 
     def body(_, d):
         big = 1000.0
@@ -46,7 +38,25 @@ def distance_map(u1, v1, valid, w1: int, h1: int, iters: int = 32):
                 m = jnp.minimum(m, p[1 + dy:1 + dy + h1, 1 + dx:1 + dx + w1] + 1.0)
         return jnp.minimum(d, m)
 
-    return jax.lax.fori_loop(0, iters, body, d)
+    return jax.lax.fori_loop(0, iters, body, seed)
+
+
+@partial(jax.jit, static_argnames=("w1", "h1", "iters"))
+def distance_map(u1, v1, valid, w1: int, h1: int, iters: int = 32):
+    """Distance transform seeded at projected active points.
+
+    u1, v1: (N,) level-1 integer pixel coords; valid: (N,).
+    Returns (h1, w1) float distances (chamfer-1 metric, like the BFS).
+    Uses the VMEM-resident Pallas stencil kernel on TPU backends."""
+    idx = jnp.where(valid & (u1 > 0) & (v1 > 0) & (u1 < w1) & (v1 < h1),
+                    v1 * w1 + u1, w1 * h1)
+    seed = jnp.full((w1 * h1 + 1,), 1000.0, jnp.float32).at[idx].min(
+        jnp.where(valid, 0.0, 1000.0))
+    d = seed[:w1 * h1].reshape(h1, w1)
+    if jax.default_backend() == "tpu":
+        from sdv_loam_tpu.ops.pallas_kernels import distance_transform_pallas
+        return distance_transform_pallas(d, iters=iters)
+    return _relax_jnp(d, iters)
 
 
 @jax.jit

@@ -107,12 +107,18 @@ def build_track_ref(dI_pyr, idepth0, weight0, levels: int, cap: int = 16384):
     scan order), plus per-level counts.
     """
     pools = []
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from sdv_loam_tpu.ops.pallas_kernels import dilate_depth_pallas
     idl, wl = idepth0, weight0
     for lvl in range(levels):
         if lvl > 0:
             idl = _sum_pool2(idl)
             wl = _sum_pool2(wl)
-        idl, wl = _dilate_once(idl, wl, diagonal=(lvl < 2))
+        if use_pallas:
+            idl, wl = dilate_depth_pallas(idl, wl, diagonal=(lvl < 2))
+        else:
+            idl, wl = _dilate_once(idl, wl, diagonal=(lvl < 2))
         h, w = idl.shape
         norm_id = jnp.where(wl > 0, idl / jnp.maximum(wl, 1e-12), -1.0)
         color = dI_pyr[lvl][..., 0]

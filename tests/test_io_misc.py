@@ -56,3 +56,24 @@ def test_viewer_writes_snapshots(tmp_path):
     v.publish_keyframes([0], np.eye(4)[None], pts, np.zeros(50, int))
     import os
     assert any(f.endswith(".png") for f in os.listdir(tmp_path))
+
+
+def test_pallas_distance_transform_matches_jnp():
+    """The Pallas stencil kernel must agree with the jnp reference (on CPU
+    this exercises the fallback; on TPU CI it exercises the kernel)."""
+    import jax.numpy as jnp
+    from sdv_loam_tpu.ops.distmap import _relax_jnp
+    from sdv_loam_tpu.ops.pallas_kernels import distance_transform_pallas
+    rng = np.random.default_rng(5)
+    seed = np.full((40, 130), 1000.0, np.float32)
+    pts = rng.integers(0, 40, 12), rng.integers(0, 130, 12)
+    seed[pts] = 0.0
+    a = np.asarray(_relax_jnp(jnp.asarray(seed), 32))
+    b = np.asarray(distance_transform_pallas(jnp.asarray(seed), iters=32))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # sanity: chessboard distance from the nearest seed
+    ys, xs = np.mgrid[0:40, 0:130]
+    exp = np.min(np.maximum(np.abs(ys[..., None] - pts[0][None, None]),
+                            np.abs(xs[..., None] - pts[1][None, None])),
+                 axis=-1)
+    np.testing.assert_allclose(a, np.minimum(exp, 1000.0), atol=1e-5)
