@@ -43,7 +43,8 @@ def main():
     warmup_frames = 12
     t_gen = time.perf_counter()
     seq = make_sequence(n_frames=n_frames, w=1200, h=360, fx=718.856,
-                        step=1.0, yaw_rate=0.004, lidar_stride=2)
+                        step=1.0, yaw_rate=0.004, lidar_stride=2,
+                        half_width=16.0)
     frames = [seq.get(i) for i in range(n_frames)]  # pre-render (host-side)
     print(f"[bench] generated {n_frames} frames in "
           f"{time.perf_counter() - t_gen:.1f}s", file=sys.stderr)

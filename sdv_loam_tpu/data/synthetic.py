@@ -192,9 +192,11 @@ class SyntheticSequence:
 def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
                   fx: float | None = None, step: float = 1.0,
                   yaw_rate: float = 0.004, seed: int = 7,
-                  lidar_stride: int = 4) -> SyntheticSequence:
+                  lidar_stride: int = 4,
+                  half_width: float = 9.0) -> SyntheticSequence:
     """Build a synthetic sequence. Default small size for tests; use
-    (1200, 360) with fx≈718 for KITTI-like benchmark runs."""
+    (1200, 360) with fx≈718 and half_width≈15 for KITTI-like benchmark
+    runs (KITTI streets put structure 10-20 m to the sides)."""
     if fx is None:
         fx = 0.6 * w  # ~horizontal FOV of KITTI
     calib = make_pyramid_calib(w, h, fx, fx, (w - 1) / 2.0, (h - 1) / 2.0 - h * 0.12)
@@ -202,5 +204,6 @@ def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
                          _R_CL.copy(), _T_CL.copy())
     poses = make_trajectory(n_frames, step=step, yaw_rate=yaw_rate, seed=seed)
     ts = np.arange(n_frames) * 0.1
-    return SyntheticSequence(calib, sensor, poses, default_scene(), ts,
+    return SyntheticSequence(calib, sensor, poses,
+                             default_scene(half_width=half_width), ts,
                              lidar_stride=lidar_stride)
