@@ -35,3 +35,21 @@ def test_run_sequence_with_observers(tmp_path):
     # telemetry log has keyframe lines
     logs = [json.loads(l) for l in open(log_path)]
     assert any(e["kind"] == "keyframe" for e in logs)
+
+
+def test_cli_synthetic(tmp_path, monkeypatch):
+    """The CLI entry point runs a synthetic mini-sequence end to end."""
+    import sdv_loam_tpu.run as runmod
+    import sdv_loam_tpu.data.synthetic as syn
+
+    orig = syn.make_sequence
+
+    def tiny_sequence(**kw):
+        return orig(n_frames=5, w=256, h=96, lidar_stride=4)
+    monkeypatch.setattr(syn, "make_sequence", tiny_sequence)
+    out = tmp_path / "traj.txt"
+    rc = runmod.main(["--synthetic", "5", "--result", str(out),
+                      "--preset", "2"])
+    assert rc == 0
+    rows = np.loadtxt(str(out))
+    assert rows.shape == (5, 12)
