@@ -490,6 +490,9 @@ class FullSystem:
             T_ref2fh = np.asarray(out["T_ref_to_fh"], np.float64)
             T_wc = np.asarray(out["T_wc"], np.float64)
             aff_fh = np.asarray(out["aff"], np.float64)
+            # matches into this frame, reused by the KF matcher refresh
+            frame["match_newest"] = (np.asarray(out["matched"]),
+                                     np.asarray(out["match_px"]))
 
         self.last_coarse_rmse = np.where(np.isfinite(res), res, 100.0)
 
@@ -1027,16 +1030,25 @@ class FullSystem:
 
     def _refresh_matcher(self, frame, newest_slot):
         """backprojectMap passes at KF time (makeKeyFrame:1105-1131)."""
-        # old points -> new frame
+        # old points -> new frame: reuse the matches the fused tracking step
+        # already computed into this frame (same pose, same map)
         hf = self.pt_valid & (self.pt["host"] != newest_slot)
-        res = self._match_into(frame, np.linalg.inv(self.T_cw[newest_slot]),
-                               self.aff[newest_slot], host_filter=hf,
-                               target_slot=newest_slot)
-        if res is not None:
-            m, px, _ = res
+        cached = frame.get("match_newest")
+        if cached is not None:
+            m, px = cached
             upd = m & hf
             self.matcher_px[upd, newest_slot] = px[upd]
             self.matcher_valid[upd, newest_slot] = True
+        else:
+            res = self._match_into(frame,
+                                   np.linalg.inv(self.T_cw[newest_slot]),
+                                   self.aff[newest_slot], host_filter=hf,
+                                   target_slot=newest_slot)
+            if res is not None:
+                m, px, _ = res
+                upd = m & hf
+                self.matcher_px[upd, newest_slot] = px[upd]
+                self.matcher_valid[upd, newest_slot] = True
         # new frame's points -> each older frame: one vmapped dispatch
         nf = self.pt_valid & (self.pt["host"] == newest_slot)
         old_slots = self.order[:-1]
