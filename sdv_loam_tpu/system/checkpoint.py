@@ -27,6 +27,7 @@ _SCALARS = ("first_coarse_rmse", "current_min_act_dist", "ignore_kf",
 
 
 def save(fs: FullSystem, path: str) -> None:
+    fs._sync_immature()  # flush device-resident trace state into the pool
     data = dict(
         order=np.array(fs.order, np.int64),
         slot_used=fs.slot_used, T_cw_fej=fs.T_cw_fej, eps=fs.eps,

@@ -170,6 +170,8 @@ class FullSystem:
         self.pot_state = {"pot": 3}
         self.ignore_kf = False
 
+        self._im_dev = None            # device-resident trace state cache
+        self._pt_dev = None            # device cache of track-step pool args
         self.initialized = False
         self.is_lost = False
         self.init_failed = False
@@ -436,6 +438,15 @@ class FullSystem:
         T_wc_stack = np.linalg.inv(T_cw)
         flat, offs, ws, hs = frame["flat"]
 
+        # device cache of the (KF-mutated-only) point-pool arguments
+        if self._pt_dev is None:
+            self._pt_dev = (
+                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+                jnp.asarray(self.pt["type"]), jnp.asarray(self.pt_valid),
+                jnp.asarray(self.pt["quality"]), jnp.asarray(ref_idx))
+        (pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, ridx_d) = self._pt_dev
+
         # re-track ladder: up to 3 attempts, excluding consumed hypotheses
         # (trackNewCoarse:429-457 — accept when the residual beats
         # lastCoarseRMSE * re_track_threshold)
@@ -452,13 +463,10 @@ class FullSystem:
                 jnp.asarray([1.0, 1.0], jnp.float32),
                 jnp.full((5,), jnp.inf, jnp.float32),
                 jnp.asarray(ref_shell["T_wc"], jnp.float32),
-                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-                jnp.asarray(self.pt["type"]), jnp.asarray(self.pt_valid),
-                jnp.asarray(self.pt["quality"]),
+                pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
                 jnp.asarray(T_wc_stack, jnp.float32), jnp.asarray(self.aff),
                 jnp.asarray(self.exposure), self.dI0_stack,
-                jnp.asarray(ref_idx), jnp.asarray(self.K0),
+                ridx_d, jnp.asarray(self.K0),
                 self.s.coarse_cutoff_th, self.s.huber_th,
                 coarsest_lvl=coarsest, w=self.w, h=self.h,
                 max_level=self.levels - 1))
@@ -585,8 +593,14 @@ class FullSystem:
     def _make_non_key_frame(self, frame):
         self._trace_new_coarse(frame)
 
-    def _trace_new_coarse(self, frame):
-        """Trace all immature points into the new frame (traceNewCoarse)."""
+    def _trace_new_coarse(self, frame, sync: bool = False):
+        """Trace all immature points into the new frame (traceNewCoarse).
+
+        Async between keyframes: the mutable trace state (idepth interval,
+        status, quality) stays DEVICE-resident and chains from trace to trace
+        without host syncs; `_sync_immature()` pulls it back before any host
+        consumer (activation) needs it.
+        """
         if not self.im_valid.any():
             return
         Km = np.eye(3)
@@ -606,23 +620,50 @@ class FullSystem:
             affp[slot] = [a, frame["shell"]["aff"][1] - a * self.aff[slot][1]]
 
         im = self.im
+        dev = self._im_dev
+        if dev is None:
+            dev = dict(
+                idepth_min=jnp.asarray(im["idepth_min"]),
+                idepth_max=jnp.asarray(im["idepth_max"]),
+                status=jnp.asarray(np.where(self.im_valid, im["status"],
+                                            trace_ops.IPS_OOB)),
+                quality=jnp.asarray(im["quality"]),
+                const=(jnp.asarray(im["u"]), jnp.asarray(im["v"]),
+                       jnp.asarray(im["color"]), jnp.asarray(im["weights"]),
+                       jnp.asarray(im["gradH"]),
+                       jnp.asarray(im["energy_th"]),
+                       jnp.asarray(im["host"])),
+            )
+        u_d, v_d, col_d, wgt_d, gH_d, eth_d, host_d = dev["const"]
         out = trace_ops.trace_points(
-            jnp.asarray(im["u"]), jnp.asarray(im["v"]),
-            jnp.asarray(im["idepth_min"]), jnp.asarray(im["idepth_max"]),
-            jnp.asarray(np.where(self.im_valid, im["status"],
-                                 trace_ops.IPS_OOB)),
-            jnp.asarray(im["quality"]), jnp.asarray(im["color"]),
-            jnp.asarray(im["weights"]), jnp.asarray(im["gradH"]),
-            jnp.asarray(im["energy_th"]), jnp.asarray(im["host"]),
+            u_d, v_d, dev["idepth_min"], dev["idepth_max"], dev["status"],
+            dev["quality"], col_d, wgt_d, gH_d, eth_d, host_d,
             jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affp),
             frame["dI"][0], w=self.w, h=self.h,
             max_pix_search_frac=self.s.max_pix_search,
             huber_th=self.s.huber_th)
-        out = jax.device_get(out)
+        self._im_dev = dict(idepth_min=out["idepth_min"],
+                            idepth_max=out["idepth_max"],
+                            status=out["status"], quality=out["quality"],
+                            pixel_interval=out["pixel_interval"],
+                            const=dev["const"])
+        if sync:
+            self._sync_immature()
+
+    def _sync_immature(self):
+        """Pull the device-resident trace state back into the host pool."""
+        if self._im_dev is None or "pixel_interval" not in self._im_dev:
+            self._im_dev = None
+            return
+        out = jax.device_get({k: self._im_dev[k] for k in
+                              ("idepth_min", "idepth_max", "status",
+                               "quality", "pixel_interval")})
+        im = self.im
         upd = self.im_valid & (~im["is_sensor"])
         for k in ("idepth_min", "idepth_max", "quality", "pixel_interval"):
             im[k][upd] = out[k][upd]
         im["status"][upd] = out["status"][upd]
+        self._im_dev = None
 
     # ------------------------------------------------------------------
     # keyframe pipeline
@@ -652,7 +693,7 @@ class FullSystem:
         return slot
 
     def _make_key_frame(self, frame):
-        self._trace_new_coarse(frame)
+        self._trace_new_coarse(frame, sync=True)
         self._flag_frames_for_marginalization()
 
         # low-speed KF suppression (makeKeyFrame:1057-1070)
@@ -693,6 +734,8 @@ class FullSystem:
             self._flag_points_for_removal_and_marginalize(slot)
             self._marginalize_frames()
 
+        self._im_dev = None  # host pool mutated (new traces / activation)
+        self._pt_dev = None
         self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
                                int(self.res_active.sum()),
                                float(self.last_coarse_rmse[0]))
