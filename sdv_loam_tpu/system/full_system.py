@@ -1336,12 +1336,12 @@ class FullSystem:
             imh = self.im_valid & (self.im["host"] == slot)
             self.im_valid[imh] = False
 
-            HM2, bM2 = backend.marginalize_frame(
+            HM2, bM2 = jax.device_get(backend.marginalize_frame(
                 jnp.asarray(self.HM, jnp.float32),
                 jnp.asarray(self.bM, jnp.float32),
                 jnp.asarray(self.frame_prior[slot]),
                 jnp.asarray(self.eps[slot], jnp.float32),
-                slot=slot, n_frames=self.F)
+                slot=slot, n_frames=self.F))
             self.HM = np.array(HM2, np.float64)
             self.bM = np.array(bM2, np.float64)
 
