@@ -31,7 +31,8 @@ from sdv_loam_tpu.ops.struct_pose import struct_pose_estimate
 from sdv_loam_tpu.utils import se3
 
 
-@partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level"))
+@partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level",
+                                   "n_refine"))
 def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      Ks, T_tries, try_exclude, aff_last, ref_aff, exposures,
                      min_res_for_abort, ref_T_wc,
@@ -39,7 +40,8 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      pt_quality, T_wc_stack, aff_stack, exposure_stack,
                      dI0_stack, ref_idx_per_point, K0,
                      cutoff_th, huber_th,
-                     coarsest_lvl: int, w: int, h: int, max_level: int):
+                     coarsest_lvl: int, w: int, h: int, max_level: int,
+                     n_refine: int = 3):
     """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
     best_try) — `try_exclude` masks hypotheses already consumed by a host
     retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
@@ -53,11 +55,13 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     first = jnp.argmin(e)
     first = jnp.where((e[0] <= e[first] * 1.05) & (~try_exclude[0]), 0, first)
 
-    # 2. full-pyramid refinement of the TOP-3 candidates in parallel; keep
+    # 2. full-pyramid refinement of the top candidates in parallel; keep
     # the one with the lowest level-0 residual (the reference's achievedRes
-    # bookkeeping across its sequential re-track attempts)
-    _, top = jax.lax.top_k(-e.at[first].set(-jnp.inf), 3)
-    cand_idx = jnp.concatenate([first[None], top[1:]])
+    # bookkeeping across its sequential re-track attempts). n_refine=1 is
+    # the fast path; the host retries with more candidates on failure.
+    _, top = jax.lax.top_k(-e.at[first].set(-jnp.inf), max(n_refine, 1))
+    cand_idx = jnp.concatenate([first[None], top[1:]]) if n_refine > 1 \
+        else first[None]
 
     def refine(T0):
         return track_pyramid(pools, dI_new_pyr, Ks, T0, aff_last, ref_aff,
@@ -68,7 +72,8 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     score = jnp.where(trs["ok"] & jnp.isfinite(trs["res"][:, 0]),
                       trs["res"][:, 0], jnp.inf)
     # small bias toward the first (constant-motion-preferred) candidate
-    score = score * jnp.array([1.0, 1.02, 1.02])
+    bias = jnp.full((max(n_refine, 1),), 1.02).at[0].set(1.0)
+    score = score * bias
     kbest = jnp.argmin(score)
     tr = jax.tree.map(lambda x: x[kbest], trs)
     best = cand_idx[kbest]
