@@ -410,7 +410,9 @@ class FullSystem:
             tries.append(inv(fh_2_slast) @ T_lastF2s @ R)
         return tries
 
-    N_TRIES_CAP = 64  # padded hypothesis batch (31 normal / 53 at init)
+    # hypothesis batch buckets: 32 covers the 31 normal-frame tries, 64 the
+    # 53 init tries (two compiled ladder variants, each cached)
+    N_TRIES_CAP = 64
 
     def _track_new_coarse(self, frame) -> bool:
         """Fused frame tracking: hypothesis ladder + pyramid LM + matcher +
@@ -422,7 +424,7 @@ class FullSystem:
             else np.zeros(2)
         coarsest = self.levels - 1
 
-        B = self.N_TRIES_CAP
+        B = 32 if len(tries) <= 32 else self.N_TRIES_CAP
         T_batch = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         nt = min(len(tries), B)
         T_batch[:nt] = np.stack(tries[:nt]).astype(np.float32)
@@ -450,7 +452,7 @@ class FullSystem:
         # re-track ladder: up to 3 attempts, excluding consumed hypotheses
         # (trackNewCoarse:429-457 — accept when the residual beats
         # lastCoarseRMSE * re_track_threshold)
-        exclude = np.zeros(self.N_TRIES_CAP, bool)
+        exclude = np.zeros(B, bool)
         exclude[nt:] = True
         last_rmse = self.last_coarse_rmse[0]
         best_out, best_res0 = None, np.inf
