@@ -123,7 +123,9 @@ def make_example_batch(n: int, w: int = 128, h: int = 64, F: int = 4,
             exposure=np.ones(F, np.float32),
             frame_valid=np.ones(F, bool),
             frame_prior=np.zeros((F, 6), np.float32),
-            fe_th=np.full(F, 1152.0, np.float32),
+            # generous photometric gate: example colors are not sampled
+            # from the example images, so keep residuals active
+            fe_th=np.full(F, 1e7, np.float32),
             HM=np.zeros((D, D), np.float32), bM=np.zeros(D, np.float32),
             pt_u=u, pt_v=v, pt_idepth=1.0 / z, pt_host=host,
             pt_color=rng.random((n_pts, 8)).astype(np.float32) * 255,
@@ -135,9 +137,12 @@ def make_example_batch(n: int, w: int = 128, h: int = 64, F: int = 4,
             res_state=np.zeros((n_pts, F), np.int8),
             matcher_px=np.stack([np.tile(u[:, None], (1, F)),
                                  np.tile(v[:, None], (1, F))], -1
-                                ).astype(np.float32),
+                                ).astype(np.float32)
+            + rng.standard_normal((n_pts, F, 2)).astype(np.float32),
             matcher_valid=res_active.copy(),
-            dI0_stack=np.zeros((F, h, w, 3), np.float32),
+            # textured window images (nonzero gradients keep the BA's
+            # wJI2 gradient-mass outlier gate open)
+            dI0_stack=rng.random((F, h, w, 3)).astype(np.float32) * 50,
             T_init=np.eye(4, dtype=np.float32),
         )
         K = np.array([0.6 * w, 0.6 * w, (w - 1) / 2, (h - 1) / 2], np.float32)
