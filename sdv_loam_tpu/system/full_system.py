@@ -190,8 +190,11 @@ class FullSystem:
 
     @property
     def T_cw(self) -> np.ndarray:
-        """(F, 4, 4) current worldToCam per slot: exp(eps) * T_fej."""
-        return np.asarray(se3.se3_exp(jnp.asarray(self.eps))) @ self.T_cw_fej
+        """(F, 4, 4) current worldToCam per slot: exp(eps) * T_fej.
+
+        Pure NumPy — this is hot host-side control math and a device
+        round-trip here costs ~0.4 s over the remote-TPU link."""
+        return se3.se3_exp_np(self.eps) @ self.T_cw_fej
 
     def _preprocess(self, cloud: np.ndarray):
         cap = self._lidar_cap
@@ -401,8 +404,7 @@ class FullSystem:
         inv = np.linalg.inv
         tries.append(inv(fh_2_slast) @ T_lastF2s)                    # const
         tries.append(inv(fh_2_slast) @ inv(fh_2_slast) @ T_lastF2s)  # double
-        half = np.asarray(se3.se3_exp(
-            se3.se3_log(jnp.asarray(fh_2_slast)) * 0.5))
+        half = se3.se3_exp_np(se3.se3_log_np(fh_2_slast) * 0.5)
         tries.append(inv(half) @ T_lastF2s)                          # half
         tries.append(T_lastF2s)                                      # zero
         tries.append(np.eye(4))                                      # zero from KF

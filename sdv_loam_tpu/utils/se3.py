@@ -180,3 +180,75 @@ def adjoint(T):
     top = jnp.concatenate([R, tR], axis=-1)
     bottom = jnp.concatenate([zeros, R], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# NumPy twins for host-side control math (no device round trips)
+# ---------------------------------------------------------------------------
+
+def se3_exp_np(xi):
+    """NumPy (..., 6) twist -> (..., 4, 4); same math as se3_exp."""
+    import numpy as np
+    xi = np.asarray(xi, dtype=np.float64)
+    v, w = xi[..., :3], xi[..., 3:]
+    theta2 = np.sum(w * w, axis=-1)
+    theta = np.sqrt(np.maximum(theta2, 1e-30))
+    small = theta2 < _EPS
+    with np.errstate(invalid="ignore", divide="ignore"):
+        a = np.where(small, 1.0 - theta2 / 6.0, np.sin(theta) / theta)
+        b = np.where(small, 0.5 - theta2 / 24.0,
+                     (1.0 - np.cos(theta)) / np.maximum(theta2, 1e-30))
+        c = np.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                     (1.0 - a) / np.maximum(theta2, 1e-30))
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = np.zeros_like(wx)
+    W = np.stack([np.stack([z, -wz, wy], -1), np.stack([wz, z, -wx], -1),
+                  np.stack([-wy, wx, z], -1)], -2)
+    W2 = W @ W
+    eye = np.eye(3)
+    R = eye + a[..., None, None] * W + b[..., None, None] * W2
+    V = eye + b[..., None, None] * W + c[..., None, None] * W2
+    t = np.einsum("...ij,...j->...i", V, v)
+    out = np.zeros(xi.shape[:-1] + (4, 4))
+    out[..., :3, :3] = R
+    out[..., :3, 3] = t
+    out[..., 3, 3] = 1.0
+    return out
+
+
+def se3_log_np(T):
+    """NumPy (..., 4, 4) -> (..., 6); same math as se3_log (generic branch)."""
+    import numpy as np
+    T = np.asarray(T, dtype=np.float64)
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = np.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    vee = 0.5 * np.stack([R[..., 2, 1] - R[..., 1, 2],
+                          R[..., 0, 2] - R[..., 2, 0],
+                          R[..., 1, 0] - R[..., 0, 1]], -1)
+    sin_t = np.sin(theta)
+    small = theta < 1e-5
+    with np.errstate(invalid="ignore", divide="ignore"):
+        scale = np.where(small, 1.0 + theta * theta / 6.0,
+                         theta / np.maximum(sin_t, 1e-30))
+    w = vee * scale[..., None]
+    theta2 = np.sum(w * w, axis=-1)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = np.zeros_like(wx)
+    W = np.stack([np.stack([z, -wz, wy], -1), np.stack([wz, z, -wx], -1),
+                  np.stack([-wy, wx, z], -1)], -2)
+    W2 = W @ W
+    with np.errstate(invalid="ignore", divide="ignore"):
+        theta_s = np.sqrt(np.maximum(theta2, 1e-30))
+        a = np.where(theta2 < _EPS, 1.0 - theta2 / 6.0,
+                     np.sin(theta_s) / theta_s)
+        b = np.where(theta2 < _EPS, 0.5 - theta2 / 24.0,
+                     (1.0 - np.cos(theta_s)) / np.maximum(theta2, 1e-30))
+        coef = np.where(theta2 < _EPS, 1.0 / 12.0 + theta2 / 720.0,
+                        (1.0 - a / np.maximum(2.0 * b, 1e-30))
+                        / np.maximum(theta2, 1e-30))
+    Vinv = np.eye(3) - 0.5 * W + coef[..., None, None] * W2
+    v = np.einsum("...ij,...j->...i", Vinv, t)
+    return np.concatenate([v, w], axis=-1)
