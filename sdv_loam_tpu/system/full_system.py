@@ -1100,7 +1100,8 @@ class FullSystem:
                 upd = m & hf
                 self.matcher_px[upd, newest_slot] = px[upd]
                 self.matcher_valid[upd, newest_slot] = True
-        # new frame's points -> each older frame: one vmapped dispatch
+        # new frame's points -> each older frame: one vmapped dispatch over
+        # a COMPACTED batch (only the newest KF's points participate)
         nf = self.pt_valid & (self.pt["host"] == newest_slot)
         old_slots = self.order[:-1]
         if nf.any() and old_slots:
@@ -1112,16 +1113,22 @@ class FullSystem:
             flat_stack = jnp.stack([self.flat_slots[sl][0]
                                     for sl in tgt_slots])
             offs, ws, hs = self.flat_slots[newest_slot][1:4]
-            ref_idx = np.tile(self.pt["host"][None, :], (S, 1))
+
+            nf_idx = np.nonzero(nf)[0]
+            (cu, cv, cid, chost, ctype, cq, cval), n_raw = self._pad_bucket(
+                [self.pt["u"][nf_idx], self.pt["v"][nf_idx],
+                 self.pt["idepth"][nf_idx], self.pt["host"][nf_idx],
+                 self.pt["type"][nf_idx], self.pt["quality"][nf_idx],
+                 np.ones(nf_idx.size, bool)])
+            ref_idx = np.tile(chost[None, :], (S, 1))
             if len(self.order) == 2:
                 a, b = self.order[0], self.order[1]
                 for si, sl in enumerate(tgt_slots):
                     ref_idx[si, :] = b if sl == a else a
             out = jax.device_get(reproject_and_match_multi(
-                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-                jnp.asarray(self.pt["type"]), jnp.asarray(nf),
-                jnp.asarray(self.pt["quality"]),
+                jnp.asarray(cu), jnp.asarray(cv), jnp.asarray(cid),
+                jnp.asarray(chost), jnp.asarray(ctype), jnp.asarray(cval),
+                jnp.asarray(cq),
                 jnp.asarray(T_wc, jnp.float32), jnp.asarray(self.aff),
                 jnp.asarray(self.exposure), self.dI0_stack,
                 flat_stack, offs, ws, hs,
@@ -1131,13 +1138,13 @@ class FullSystem:
                 jnp.asarray(self.K0), jnp.asarray(ref_idx),
                 w=self.w, h=self.h, max_level=self.levels - 1))
             for si, slot in enumerate(old_slots):
-                m = out["matched"][si]
-                px = out["px"][si]
-                upd = m & nf
-                self.matcher_px[upd, slot] = px[upd]
-                self.matcher_valid[upd, slot] = True
-                self.res_active[upd, slot] = True
-                self.res_is_new[upd, slot] = True
+                m = out["matched"][si][:n_raw]
+                px = out["px"][si][:n_raw]
+                rows = nf_idx[m]
+                self.matcher_px[rows, slot] = px[m]
+                self.matcher_valid[rows, slot] = True
+                self.res_active[rows, slot] = True
+                self.res_is_new[rows, slot] = True
 
     def _win_dict(self, newest_slot):
         D = 4 + 6 * self.F
