@@ -53,3 +53,31 @@ def test_cli_synthetic(tmp_path, monkeypatch):
     assert rc == 0
     rows = np.loadtxt(str(out))
     assert rows.shape == (5, 12)
+
+
+def test_full_reset_on_init_failure():
+    """First frame without LiDAR points -> init_failed -> full reset ->
+    system recovers on subsequent frames (main.cpp:510-528 semantics)."""
+    from sdv_loam_tpu.system.runner import run_sequence
+    seq = make_sequence(n_frames=6, w=256, h=96, step=0.8, lidar_stride=4)
+
+    class Broken:
+        calib = seq.calib
+        sensor = seq.sensor
+
+        def __len__(self):
+            return 6
+
+        def get(self, i):
+            img, cloud, ts = seq.get(i)
+            if i == 0:  # empty scan kills initialization
+                cloud = np.zeros((10, 3), np.float32)
+            return img, cloud, ts
+
+    s = Settings(desired_immature_density=400, desired_point_density=500,
+                 n_active_cap=1024, n_immature_cap=1024)
+    fs, summary = run_sequence(Broken(), s)
+    # reset happened (frames 1.. form a fresh system) and tracking recovered
+    assert not fs.is_lost
+    assert not fs.init_failed
+    assert len(fs.kf_shells) >= 2
