@@ -82,4 +82,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit the one JSON line the driver reads
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "synthetic_kitti_frames_per_sec_per_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "extra": {"error": str(e)[:200]},
+        }))
