@@ -25,7 +25,6 @@ Delta vs reference: the reference quantizes the warped ref patch to uint8
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

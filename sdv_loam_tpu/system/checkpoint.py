@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from sdv_loam_tpu.config import Settings
 from sdv_loam_tpu.ops.align import flatten_pyramid
-from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth
+from sdv_loam_tpu.ops.photometric import splat_idepth
 from sdv_loam_tpu.ops.pyramid import make_images
 from sdv_loam_tpu.system.full_system import FullSystem
 

@@ -34,7 +34,7 @@ from sdv_loam_tpu.ops.distmap import distance_map, shi_tomasi
 from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth, track_pyramid
 from sdv_loam_tpu.ops.pyramid import make_images
 from sdv_loam_tpu.ops.select import make_maps
-from sdv_loam_tpu.ops.struct_pose import struct_pose_estimate
+
 from sdv_loam_tpu.utils import se3
 from sdv_loam_tpu.utils.camera import PyramidCalib
 
