@@ -132,3 +132,25 @@ def test_struct_pose_noise_convergence():
     err = np.asarray(se3.se3_log(jnp.asarray(T_est @ np.linalg.inv(T_gt))))
     assert np.linalg.norm(err[:3]) < 5e-3, err
     assert np.linalg.norm(err[3:]) < 5e-4, err
+
+
+def test_noise_injection():
+    """Benchmark noise knobs (Undistort.cpp:361-469 equivalents)."""
+    from sdv_loam_tpu.data.noise import (NoisySequence, apply_blur_noise,
+                                         apply_photometric_noise)
+    from sdv_loam_tpu.data.synthetic import make_sequence
+    rng = np.random.default_rng(0)
+    img = (rng.random((48, 64)) * 200).astype(np.float32)
+    noisy = apply_photometric_noise(img, 8.0, seed=1)
+    assert noisy.shape == img.shape
+    d = np.abs(noisy - img)
+    assert 0.1 < d.mean() < 8.0
+    blurred = apply_blur_noise(img, 1.5, seed=2)
+    # blur reduces gradient energy
+    ge = lambda a: np.abs(np.diff(a, axis=1)).mean()
+    assert ge(blurred) < ge(img)
+    # wrapper preserves reader interface
+    seq = NoisySequence(make_sequence(n_frames=2, w=128, h=64, lidar_stride=8),
+                        var_noise=4.0)
+    im, cl, ts = seq.get(0)
+    assert im.shape == (64, 128) and cl.shape[1] == 3
