@@ -117,7 +117,8 @@ struct Prefetcher {
   std::condition_variable cv_ready, cv_space;
   std::thread worker;
   std::atomic<bool> stop{false};
-  int next_load = 0;
+  int next_load = 0;  // worker-private: only the worker thread touches it
+  int produced = 0;   // items pushed to `ready`; guarded by `mu`
 
   void run() {
     while (!stop.load()) {
@@ -132,8 +133,15 @@ struct Prefetcher {
       cv_space.wait(lk, [&] { return ready.size() < depth || stop.load(); });
       if (stop.load()) break;
       ready.push(std::move(item));
+      produced++;  // counted under the mutex AFTER the push, so the
+                   // consumer's end-of-sequence predicate never runs ahead
       cv_ready.notify_one();
     }
+    // unblock a consumer waiting on a sequence that ends early (stop, or
+    // the worker exiting without producing every path)
+    std::lock_guard<std::mutex> lk(mu);
+    produced = static_cast<int>(cloud_paths.size());
+    cv_ready.notify_all();
   }
 };
 
@@ -147,26 +155,26 @@ void* sdv_prefetcher_create(const char** paths, int n_paths, int max_points,
   return p;
 }
 
-// Blocks until the next item is ready; returns its point count, or -1 when
-// the sequence is exhausted. Caller buffer must hold max_points*3 floats.
+// Blocks until the next item is ready; returns its point count, -1 when
+// the sequence is exhausted, or -2 when the underlying file read failed
+// (missing/corrupt cloud). Caller buffer must hold max_points*3 floats.
 int sdv_prefetcher_next(void* handle, float* out_xyz, int* out_index) {
   auto* p = static_cast<Prefetcher*>(handle);
   std::unique_lock<std::mutex> lk(p->mu);
   p->cv_ready.wait(lk, [&] {
     return !p->ready.empty() ||
-           (p->next_load >= static_cast<int>(p->cloud_paths.size()) &&
-            p->ready.empty());
+           p->produced >= static_cast<int>(p->cloud_paths.size());
   });
   if (p->ready.empty()) return -1;
   PrefetchItem item = std::move(p->ready.front());
   p->ready.pop();
   p->cv_space.notify_one();
   lk.unlock();
-  int n = item.n_points < 0 ? 0 : item.n_points;
-  std::memcpy(out_xyz, item.cloud.data(),
-              static_cast<size_t>(n) * 3 * sizeof(float));
   *out_index = item.index;
-  return n;
+  if (item.n_points < 0) return -2;  // surfaced as IOError in Python
+  std::memcpy(out_xyz, item.cloud.data(),
+              static_cast<size_t>(item.n_points) * 3 * sizeof(float));
+  return item.n_points;
 }
 
 void sdv_prefetcher_destroy(void* handle) {

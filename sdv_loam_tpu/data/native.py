@@ -127,6 +127,9 @@ class CloudPrefetcher:
             idx = ctypes.c_int(-1)
             n = self._lib.sdv_prefetcher_next(self._h, _fptr(buf),
                                               ctypes.byref(idx))
+            if n == -2:
+                raise IOError(
+                    f"cannot read {self._paths[int(idx.value)]}")
             if n < 0:
                 return None
             return int(idx.value), buf[:n].copy()

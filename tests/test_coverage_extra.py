@@ -141,10 +141,17 @@ def test_noise_injection():
     from sdv_loam_tpu.data.synthetic import make_sequence
     rng = np.random.default_rng(0)
     img = (rng.random((48, 64)) * 200).astype(np.float32)
-    noisy = apply_photometric_noise(img, 8.0, seed=1)
+    # geometric sampling jitter (applyNoise is a sub-pixel warp of the
+    # sampling coordinates, Undistort.cpp:383-396): intensities move but the
+    # value range is preserved (bilinear resample = convex combination)
+    noisy = apply_photometric_noise(img, 2.0, seed=1)
     assert noisy.shape == img.shape
-    d = np.abs(noisy - img)
-    assert 0.1 < d.mean() < 8.0
+    assert np.abs(noisy - img).mean() > 0.1
+    assert noisy.min() >= img.min() - 1e-3
+    assert noisy.max() <= img.max() + 1e-3
+    # a pure-translation field stays close to a shifted image: warp, not
+    # additive noise
+    assert np.array_equal(apply_photometric_noise(img, 0.0), img)
     blurred = apply_blur_noise(img, 1.5, seed=2)
     # blur reduces gradient energy
     ge = lambda a: np.abs(np.diff(a, axis=1)).mean()
