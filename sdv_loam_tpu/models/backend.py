@@ -582,41 +582,45 @@ def marginalize_points(lin, pt_host, pt_is_sensor, pt_prior_marg, marg_mask,
     return dHM, dbM
 
 
-@partial(jax.jit, static_argnames=("slot", "n_frames"))
+@partial(jax.jit, static_argnames=("n_frames",))
 def marginalize_frame(HM, bM, frame_prior_slot, frame_delta_slot,
-                      slot: int, n_frames: int):
+                      slot, n_frames: int):
     """Schur-eliminate one frame slot from the marginalization prior.
 
     Mirrors EnergyFunctional::marginalizeFrame (:434-512): add the frame's
     prior, precondition with sqrt(|diag|+10), eliminate the 6-dim block,
     then zero the slot (the reference compacts indices instead; our layout
     keeps fixed slots with an occupancy mask).
+
+    `slot` is a TRACED index: one compiled program covers every slot (a
+    static slot would recompile per window position — 8 programs over a
+    slow link).
     """
     D = HM.shape[0]
-    io = CPARS + 6 * slot
-    HM = HM.at[jnp.arange(io, io + 6), jnp.arange(io, io + 6)].add(
-        frame_prior_slot)
-    bM = bM.at[io:io + 6].add(frame_prior_slot * frame_delta_slot)
+    slot = jnp.asarray(slot, jnp.int32)
+    kidx = CPARS + 6 * slot + jnp.arange(6)               # the 6 slot rows
+    HM = HM.at[kidx, kidx].add(frame_prior_slot)
+    bM = bM.at[kidx].add(frame_prior_slot * frame_delta_slot)
 
     SVec = jnp.sqrt(jnp.abs(jnp.diag(HM)) + 10.0)
     SVecI = 1.0 / SVec
     Hs = HM * SVecI[:, None] * SVecI[None, :]
     bs = bM * SVecI
 
-    Hkk = Hs[io:io + 6, io:io + 6]
+    Hkk = Hs[kidx][:, kidx]
     Hkk = 0.5 * (Hkk + Hkk.swapaxes(0, 1))
     Hkk_inv = jnp.linalg.inv(Hkk + jnp.eye(6, dtype=HM.dtype) * 1e-10)
     Hkk_inv = 0.5 * (Hkk_inv + Hkk_inv.swapaxes(0, 1))
-    C = Hs[:, io:io + 6]                                  # (D, 6)
+    C = Hs[:, kidx]                                       # (D, 6)
     Hs_new = Hs - C @ Hkk_inv @ C.swapaxes(0, 1)
-    bs_new = bs - C @ (Hkk_inv @ bs[io:io + 6])
+    bs_new = bs - C @ (Hkk_inv @ bs[kidx])
 
     HM_new = Hs_new * SVec[:, None] * SVec[None, :]
     bM_new = bs_new * SVec
     HM_new = 0.5 * (HM_new + HM_new.swapaxes(0, 1))
 
     # zero the freed slot
-    mask = jnp.ones((D,), bool).at[io:io + 6].set(False)
+    mask = jnp.ones((D,), bool).at[kidx].set(False)
     HM_new = jnp.where(mask[:, None] & mask[None, :], HM_new, 0.0)
     bM_new = jnp.where(mask, bM_new, 0.0)
     return HM_new, bM_new

