@@ -158,6 +158,7 @@ class Settings:
     # ------------------------------------------------------------------
     n_frames_cap: int = 8          # window slots: max_frames(7) + incoming
     n_immature_cap: int = 2048     # immature pool (target density 1500)
+    n_select_cap: int = 4096       # compacted selection rows per keyframe
     n_active_cap: int = 4096       # active point pool size
     n_lidar_cand_cap: int = 16384  # projected LiDAR pixel candidates per scan
     trace_max_steps: int = 64      # discrete epipolar search budget (see

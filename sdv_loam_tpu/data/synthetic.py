@@ -48,16 +48,32 @@ class Plane:
     tex_seed: int
 
 
-def _texture(u, v, seed):
-    """Band-limited procedural texture in [10, 245]."""
+def _texture(u, v, seed, footprint=0.0):
+    """Band-limited procedural texture in [10, 245].
+
+    `footprint` is the per-sample pixel footprint on the surface (world
+    units): each sinusoid component is attenuated by the exact integral of a
+    Gaussian pixel aperture, exp(-f^2 s^2 / 2) — analytic mip-mapping. A real
+    camera integrates over the pixel, so without this the point-sampled
+    texture aliases at range and consecutive frames disagree at the
+    intensity level, putting a ~0.5-1 px noise floor under every direct
+    alignment (matcher, tracker) that no estimator can beat."""
     rng = np.random.default_rng(seed)
     out = np.zeros_like(u)
-    for k in range(6):
-        fu, fv = rng.uniform(0.05, 1.6, 2) * (1.6 ** k) * 0.25
+    s2 = np.square(footprint)
+    # fBm-like octaves: slowly-decaying amplitudes over geometric frequencies
+    # give scale-invariant detail (image-plane gradients of tens of intensity
+    # units per pixel at driving depths, like real road scenes); the Gaussian
+    # aperture keeps whatever exceeds the local Nyquist out of the render.
+    total = 0.0
+    for k in range(12):
+        fu, fv = rng.uniform(0.4, 1.1, 2) * (1.7 ** k) * 0.1
         pu, pv = rng.uniform(0, 2 * np.pi, 2)
-        amp = 1.0 / (1.3 ** k)
-        out = out + amp * np.sin(fu * u + pu) * np.cos(fv * v + pv)
-    out = out / 4.2  # roughly [-1, 1]
+        amp = 1.0 / (1.08 ** k)
+        att = np.exp(-0.5 * (fu * fu + fv * fv) * s2)
+        out = out + (amp * att) * np.sin(fu * u + pu) * np.cos(fv * v + pv)
+        total += amp
+    out = out / (0.4 * total)
     return np.clip(127.0 + 110.0 * out, 10.0, 245.0)
 
 
@@ -74,15 +90,18 @@ def default_scene(cam_height: float = 1.65, half_width: float = 9.0,
     return [g, left, right, back]
 
 
-def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0):
+def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0, px_scale=0.0):
     """Cast rays against the scene.
 
     origins: (3,) or (N,3); dirs: (N,3). Returns (t (N,), intensity (N,)),
-    with t = +inf for misses.
+    with t = +inf for misses. `px_scale` is the angular pixel size (1/fx for
+    camera rays with |dir_z|=1): when nonzero, the texture is sampled with
+    the matching surface footprint (anti-aliased like a real camera pixel).
     """
     origins = np.broadcast_to(origins, dirs.shape)
     best_t = np.full(dirs.shape[0], np.inf)
     best_i = np.zeros(dirs.shape[0])
+    dnorm = np.linalg.norm(dirs, axis=-1)
     for pl in scene:
         denom = dirs @ pl.n
         num = (pl.p0 - origins) @ pl.n
@@ -98,7 +117,14 @@ def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0):
             ok &= (u >= umin) & (u <= umax) & (v >= vmin) & (v <= vmax)
         closer = ok & (t < best_t)
         if np.any(closer):
-            inten = _texture(u[closer], v[closer], pl.tex_seed)
+            if px_scale > 0.0:
+                # footprint = lateral pixel size at range, stretched by the
+                # grazing angle on the plane
+                cosi = np.abs(denom[closer]) / np.maximum(dnorm[closer], 1e-9)
+                fp = (t[closer] * px_scale) / np.maximum(cosi, 0.05)
+            else:
+                fp = 0.0
+            inten = _texture(u[closer], v[closer], pl.tex_seed, fp)
             best_t[closer] = t[closer]
             best_i[closer] = inten
     return best_t, best_i
@@ -149,7 +175,8 @@ class SyntheticSequence:
         dy = (yy - c.cy[0]) / c.fy[0]
         dirs_cam = np.stack([dx, dy, np.ones_like(dx)], axis=-1).reshape(-1, 3)
         dirs_world = dirs_cam @ T[:3, :3].T
-        t, inten = _raycast(self.scene, T[:3, 3], dirs_world)
+        t, inten = _raycast(self.scene, T[:3, 3], dirs_world,
+                            px_scale=1.0 / c.fx[0])
         img = np.where(np.isfinite(t), inten, 0.0)
         return img.reshape(c.h[0], c.w[0]).astype(np.float32)
 

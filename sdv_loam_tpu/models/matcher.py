@@ -149,8 +149,14 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                   exposure_target / exposure_stack[ref_idx])
     b_rel = aff_target[1] - a_rel * aff_stack[ref_idx, 1]
 
+    # level-0 <-> level-L pixel-center mapping for the 2x2-averaged pyramid:
+    # p_L = (p_0 - off) / 2^L with off = (2^L - 1)/2. The reference's naive
+    # p_0/2^L (findMatchDirect:273,292) biases matches by -off level-0 px on
+    # L>0; with the center-correct mapping the alignment is unbiased at every
+    # level (measured: -0.5/-1.5 px bias at L1/L2 with the naive mapping).
     scale = (1 << lvl).astype(jnp.float32)
-    px_scaled = px_t_c / scale[:, None]
+    center_off = 0.5 * (scale - 1.0)
+    px_scaled = (px_t_c - center_off[:, None]) / scale[:, None]
 
     px2, conv2 = align2d_batch(flat_pyr, offsets, widths, heights, lvl,
                                patches, px_scaled, a_rel, b_rel, cand)
@@ -169,7 +175,8 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                                cand)
 
     is_edge = type_c == 1
-    px_c = jnp.where(is_edge[:, None], px1, px2) * scale[:, None]
+    px_c = jnp.where(is_edge[:, None], px1, px2) * scale[:, None] \
+        + center_off[:, None]
     m_c = jnp.where(is_edge, conv1, conv2) & cand
     m_c = m_c & jnp.isfinite(px_c).all(axis=-1)
 

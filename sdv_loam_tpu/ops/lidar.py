@@ -243,6 +243,18 @@ def project_to_camera(xyz_img, seg_mask, is_ground, R_cl, t_cl, fx, fy, cx, cy,
     ground_map = gflat[:w * h].reshape(h, w)
     depth_map = jnp.where(jnp.isfinite(depth_map), depth_map, 0.0)
 
+    # LiDAR bbox area over projected candidates (lidarCloudHandler tracks
+    # left/right/up/down, main.cpp:820-838) — on device so selection density
+    # needs no depth-map readback
+    big = jnp.int32(1 << 20)
+    umin = jnp.where(ok, kui, big).min()
+    umax = jnp.where(ok, kui, -big).max()
+    vmin = jnp.where(ok, kvi, big).min()
+    vmax = jnp.where(ok, kvi, -big).max()
+    bbox_area = jnp.where(n_all >= 2,
+                          ((umax - umin) * (vmax - vmin)).astype(xyz_img.dtype),
+                          jnp.asarray(1.0, xyz_img.dtype))
+
     return dict(
         cand_u=ku.reshape(N_SCAN, HORIZON_SCAN),
         cand_v=kv.reshape(N_SCAN, HORIZON_SCAN),
@@ -252,6 +264,7 @@ def project_to_camera(xyz_img, seg_mask, is_ground, R_cl, t_cl, fx, fy, cx, cy,
         ground_ratio=ground_ratio,
         depth_map=depth_map,
         ground_map=ground_map,
+        bbox_area=bbox_area,
     )
 
 

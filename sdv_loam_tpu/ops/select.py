@@ -230,6 +230,89 @@ def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
     return status, counts
 
 
+@partial(jax.jit, static_argnames=("pot", "cap",
+                                   "select_direction_distribution"))
+def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, key,
+                   pot: int, cap: int, th_factor: float = 1.0,
+                   min_grad_hist_cut: float = 0.5,
+                   min_grad_hist_add: float = 3.0,
+                   grad_downweight_per_level: float = 0.75,
+                   select_direction_distribution: bool = True):
+    """Whole selection stage as ONE device program with compacted output.
+
+    Fuses makeHists + the 3-scale cascade + the per-candidate data the host
+    pool insertion needs (pattern colors/weights, gradient Hessian,
+    Shi-Tomasi score, LiDAR depth at the pixel) so a keyframe's point
+    selection costs a single host round-trip instead of four
+    (PixelSelector2::makeMapsFromLidar + FullSystem::makeNewTraces data
+    gathering, PixelSelector2.cpp:354-457 / FullSystem.cpp:1273-1356).
+
+    Returns dict with (cap,)-shaped compacted candidate rows (row-major
+    pixel order, like the reference's scan order), `valid` marking real
+    rows, `counts` for the density feedback, and n_sel.
+    """
+    from sdv_loam_tpu.ops.distmap import shi_tomasi
+    from sdv_loam_tpu.ops.trace import pattern_colors
+
+    h, w = ag0.shape
+    ths = grad_hist_thresholds(ag0, min_grad_hist_cut, min_grad_hist_add)
+    status, counts = select_cascade(
+        dI0, ag0, ag1, ag2, ths, cand_mask, key, pot, th_factor,
+        grad_downweight_per_level, select_direction_distribution)
+    flat = (status != 0).reshape(-1)
+    n_sel = flat.sum()
+    idx = jnp.nonzero(flat, size=cap, fill_value=h * w)[0]
+    valid = idx < h * w
+    idx_c = jnp.minimum(idx, h * w - 1)
+    vs = (idx_c // w).astype(jnp.float32)
+    us = (idx_c % w).astype(jnp.float32)
+    col, wgt, gradH, finite, gcen = pattern_colors(dI0, us, vs)
+    score = shi_tomasi(dI0, us, vs)
+    z = depth_map[(idx_c // w), (idx_c % w)]
+    return dict(u=us, v=vs, valid=valid, counts=counts, n_sel=n_sel,
+                color=col, weights=wgt, gradH=gradH,
+                finite=finite & valid, gcen=gcen, score=score, z=z)
+
+
+def make_maps_compact(dI0, abs_grads, cand_mask, depth_map, density, key,
+                      pot_state: dict, settings: Settings, cap: int,
+                      th_factor: float = 1.0, sub_seed: int = 0):
+    """Density-feedback wrapper around select_compact (makeMaps /
+    makeMapsFromLidar, PixelSelector2.cpp:108-207): one device round-trip
+    per attempt (usually one), keepPercentage subsampling done host-side on
+    the compacted rows.
+
+    Returns (out dict from select_compact, keep (cap,) bool np mask).
+    """
+    pot = max(1, int(pot_state.get("pot", 3)))
+
+    for recursion in range(2):
+        out = jax.device_get(select_compact(
+            dI0, abs_grads[0], abs_grads[1], abs_grads[2], cand_mask,
+            depth_map, key, pot, cap, th_factor,
+            settings.min_grad_hist_cut, settings.min_grad_hist_add,
+            settings.grad_downweight_per_level,
+            settings.select_direction_distribution))
+        num_have = float(out["counts"].sum())
+        quotia = density / max(num_have, 1.0)
+        K = num_have * (pot + 1) * (pot + 1)
+        ideal_pot = max(1, int(np.sqrt(K / max(density, 1.0)) - 1))
+        if recursion == 0 and quotia > 1.25 and pot > 1:
+            pot = min(ideal_pot, pot - 1)
+            continue
+        if recursion == 0 and quotia < 0.25:
+            pot = max(ideal_pot, pot + 1)
+            continue
+        break
+    pot_state["pot"] = ideal_pot
+
+    keep = np.asarray(out["valid"]).copy()
+    if quotia < 0.95:
+        rng = np.random.default_rng(sub_seed)
+        keep &= rng.random(keep.shape) < quotia
+    return out, keep
+
+
 def make_maps(dI0, abs_grads, cand_mask, density, key, pot_state: dict,
               settings: Settings, th_factor: float = 1.0):
     """Host-driven density feedback around select_cascade (makeMaps /

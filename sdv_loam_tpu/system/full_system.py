@@ -30,10 +30,10 @@ from sdv_loam_tpu.models.matcher import reproject_and_match
 from sdv_loam_tpu.ops import lidar as lidar_ops
 from sdv_loam_tpu.ops import trace as trace_ops
 from sdv_loam_tpu.ops.align import flatten_pyramid
-from sdv_loam_tpu.ops.distmap import distance_map, shi_tomasi
+from sdv_loam_tpu.ops.distmap import distance_map
 from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth, track_pyramid
 from sdv_loam_tpu.ops.pyramid import make_images
-from sdv_loam_tpu.ops.select import make_maps
+from sdv_loam_tpu.ops.select import make_maps_compact
 
 from sdv_loam_tpu.utils import se3
 from sdv_loam_tpu.utils.camera import PyramidCalib
@@ -211,12 +211,6 @@ class FullSystem:
             float(self.K0[3]), self.w, self.h)
         return out
 
-    def _lidar_bbox_area(self, depth_map: np.ndarray) -> float:
-        vs, us = np.nonzero(depth_map > 0)
-        if us.size < 2:
-            return 1.0
-        return float((us.max() - us.min()) * (vs.max() - vs.min()))
-
     def _free_pt_rows(self, n):
         free = np.nonzero(~self.pt_valid)[0]
         return free[:n]
@@ -305,37 +299,25 @@ class FullSystem:
         (CoarseInitializer::setFirstFromLidar + initializeFromInitializer)."""
         fr = self._first_frame
         scan = fr["scan"]
-        depth_map = jax.device_get(scan["depth_map"])
-        cand = depth_map > 0
 
-        lidar_area = self._lidar_bbox_area(depth_map)
+        lidar_area = float(jax.device_get(scan["bbox_area"]))
         density = 0.03 * lidar_area  # densities[0] (CoarseInitializer.cpp:780)
-        status, n_sel = make_maps(fr["dI"][0], fr["abs_grad"],
-                                  jnp.asarray(cand), density,
-                                  self._next_key(), {"pot": 3}, self.s)
-        ys, xs = np.nonzero(status)
+        cand = scan["depth_map"] > 0
+        out, keep = make_maps_compact(
+            fr["dI"][0], fr["abs_grad"], cand, scan["depth_map"], density,
+            self._next_key(), {"pot": 3}, self.s, cap=self.s.n_select_cap,
+            sub_seed=self.s.seed)
         # keepPercentage subsampling toward the active density target
-        keep_p = min(1.0, self.s.desired_point_density / max(len(xs), 1))
+        n_have = int(keep.sum())
+        keep_p = min(1.0, self.s.desired_point_density / max(n_have, 1))
         rng = np.random.default_rng(self.s.seed)
-        keep = rng.random(len(xs)) <= keep_p
-        xs, ys = xs[keep], ys[keep]
-        n = min(len(xs), self.N)
-        xs, ys = xs[:n], ys[:n]
+        keep &= rng.random(keep.shape) <= keep_p
 
         slot = self._insert_frame_slot(fr, kf_id=0)
         # first-frame gauge prior (getPrior: initialRot/TransPrior)
         self.frame_prior[slot] = np.array([1e10] * 3 + [1e11] * 3)
 
-        (xs_p, ys_p), n_raw = self._pad_bucket(
-            [xs.astype(np.float32), ys.astype(np.float32)])
-        col, wgt, gradH, finite, gcen = jax.device_get(
-            trace_ops.pattern_colors(fr["dI"][0], jnp.asarray(xs_p),
-                                     jnp.asarray(ys_p)))
-        col, wgt, gradH, finite, gcen = (col[:n_raw], wgt[:n_raw],
-                                         gradH[:n_raw], finite[:n_raw],
-                                         gcen[:n_raw])
-        z = depth_map[ys, xs]
-        good = finite & (z > 0)
+        good = keep & out["finite"] & (out["z"] > 0)
         if good.sum() < 50:
             # too few LiDAR-depth points to initialize (initializer failure
             # -> full reset path, main.cpp:510-528)
@@ -343,18 +325,17 @@ class FullSystem:
         rows = self._free_pt_rows(int(good.sum()))
         sel = np.nonzero(good)[0][:len(rows)]
 
-        q = gcen
         self.pt_valid[rows] = True
-        self.pt["u"][rows] = xs[sel]
-        self.pt["v"][rows] = ys[sel]
-        self.pt["idepth"][rows] = 1.0 / z[sel]
+        self.pt["u"][rows] = out["u"][sel]
+        self.pt["v"][rows] = out["v"][sel]
+        self.pt["idepth"][rows] = 1.0 / out["z"][sel]
         self.pt["host"][rows] = slot
-        self.pt["color"][rows] = col[sel]
-        self.pt["weights"][rows] = wgt[sel]
+        self.pt["color"][rows] = out["color"][sel]
+        self.pt["weights"][rows] = out["weights"][sel]
         self.pt["is_sensor"][rows] = True
         self.pt["type"][rows] = CORNER
         self.pt["prior"][rows] = self.s.idepth_fix_prior  # hasDepthPrior
-        self.pt["quality"][rows] = q[sel]
+        self.pt["quality"][rows] = out["gcen"][sel]
         self.res_active[rows, :] = False
         self.matcher_valid[rows, :] = False
 
@@ -666,6 +647,13 @@ class FullSystem:
         out = jax.device_get({k: self._im_dev[k] for k in
                               ("idepth_min", "idepth_max", "status",
                                "quality", "pixel_interval")})
+        self._apply_immature_sync(out)
+
+    def _apply_immature_sync(self, out):
+        """Apply already-pulled trace state to the host pool."""
+        if out is None:
+            self._im_dev = None
+            return
         im = self.im
         upd = self.im_valid & (~im["is_sensor"])
         for k in ("idepth_min", "idepth_max", "quality", "pixel_interval"):
@@ -701,7 +689,20 @@ class FullSystem:
         return slot
 
     def _make_key_frame(self, frame):
-        self._trace_new_coarse(frame, sync=True)
+        # dispatch the trace (device-chained), then pull the trace state and
+        # the scan's selection scalars in ONE host round-trip
+        self._trace_new_coarse(frame, sync=False)
+        scal = jax.device_get(
+            dict(bbox=frame["scan"]["bbox_area"],
+                 add_feat=frame["scan"]["add_feature_point"],
+                 trace={k: self._im_dev[k] for k in
+                        ("idepth_min", "idepth_max", "status", "quality",
+                         "pixel_interval")}
+                 if self._im_dev is not None and "pixel_interval"
+                 in self._im_dev else None))
+        self._apply_immature_sync(scal["trace"])
+        frame["bbox_area"] = float(scal["bbox"])
+        frame["add_feat"] = bool(scal["add_feat"])
         self._flag_frames_for_marginalization()
 
         # low-speed KF suppression (makeKeyFrame:1057-1070)
@@ -801,57 +802,72 @@ class FullSystem:
                 self.slot_flagged[best_slot] = True
 
     def _make_new_traces(self, frame, slot):
-        """Point selection + immature point creation (makeNewTraces)."""
+        """Point selection + immature point creation (makeNewTraces).
+
+        The whole device side (cascade + colors + scores + depth gather) is
+        one fused program with compacted output: one host round-trip per
+        selection pass (select.select_compact)."""
         scan = frame["scan"]
-        depth_map, add_feat = jax.device_get(
-            (scan["depth_map"], scan["add_feature_point"]))
-        cand = depth_map > 0
-        lidar_area = self._lidar_bbox_area(depth_map)
+        lidar_area = frame["bbox_area"]
         img_area = self.w * self.h
         density = (lidar_area / img_area) * self.s.desired_immature_density
 
-        status, n_lidar = make_maps(frame["dI"][0], frame["abs_grad"],
-                                    jnp.asarray(cand), density,
-                                    self._next_key(), self.pot_state, self.s)
-        ys, xs = np.nonzero(status)
-        z = depth_map[ys, xs]
+        cand = scan["depth_map"] > 0
+        out, keep = make_maps_compact(
+            frame["dI"][0], frame["abs_grad"], cand, scan["depth_map"],
+            density, self._next_key(), self.pot_state, self.s,
+            cap=self.s.n_select_cap,
+            sub_seed=self.s.seed + len(self.shells))
+        lid_keep = keep & out["finite"]
+        xs = out["u"][lid_keep]
+        ys = out["v"][lid_keep]
+        n_sens = int(lid_keep.sum())
 
         # optional monocular points when the scene is ground-dominated
-        mxs = mys = np.zeros(0, int)
-        if bool(add_feat):
-            mstatus, _ = make_maps(frame["dI"][0], frame["abs_grad"],
-                                   jnp.ones((self.h, self.w), bool),
-                                   self.s.desired_immature_density,
-                                   self._next_key(), self.pot_state, self.s)
-            # suppress around selected LiDAR points (setMask: ±pot in x, ±1 in y)
-            mask = np.zeros((self.h, self.w), bool)
+        mono = None
+        if frame["add_feat"]:
+            mout, mkeep = make_maps_compact(
+                frame["dI"][0], frame["abs_grad"],
+                jnp.ones((self.h, self.w), bool), scan["depth_map"],
+                self.s.desired_immature_density, self._next_key(),
+                self.pot_state, self.s, cap=self.s.n_select_cap,
+                sub_seed=self.s.seed + 7919 + len(self.shells))
+            # suppress around selected LiDAR points (setMask: ±pot in x,
+            # ±1 in y) — vectorized membership test on pixel ids
             pot = self.pot_state.get("pot", 3)
-            for dx in range(-pot, pot + 1):
-                xs2 = np.clip(xs + dx, 0, self.w - 1)
-                for dy in (-1, 0, 1):
-                    ys2 = np.clip(ys + dy, 0, self.h - 1)
-                    mask[ys2, xs2] = True
-            mys, mxs = np.nonzero(np.asarray(mstatus) & ~mask)
+            dxs = np.arange(-pot, pot + 1)
+            dys = np.array([-1, 0, 1])
+            sx = np.clip(xs[:, None, None] + dxs[None, :, None],
+                         0, self.w - 1)
+            sy = np.clip(ys[:, None, None] + dys[None, None, :],
+                         0, self.h - 1)
+            suppressed = np.zeros(self.h * self.w, bool)
+            suppressed[(sy * self.w + sx).astype(np.int64).ravel()] = True
+            mk = mkeep & mout["finite"]
+            mpix = (mout["v"] * self.w + mout["u"]).astype(np.int64)
+            mk &= ~suppressed[np.clip(mpix, 0, self.h * self.w - 1)]
+            mono = (mout, mk)
 
-        all_u = np.concatenate([xs, mxs]).astype(np.float32)
-        all_v = np.concatenate([ys, mys]).astype(np.float32)
-        n_sens = len(xs)
+        sel_src = [(out, lid_keep, True)]
+        if mono is not None:
+            sel_src.append((mono[0], mono[1], False))
+        all_u = np.concatenate([s[0]["u"][s[1]] for s in sel_src]).astype(
+            np.float32)
+        all_v = np.concatenate([s[0]["v"][s[1]] for s in sel_src]).astype(
+            np.float32)
+        col = np.concatenate([s[0]["color"][s[1]] for s in sel_src])
+        wgt = np.concatenate([s[0]["weights"][s[1]] for s in sel_src])
+        gradH = np.concatenate([s[0]["gradH"][s[1]] for s in sel_src])
+        gcen = np.concatenate([s[0]["gcen"][s[1]] for s in sel_src])
+        score = np.concatenate([s[0]["score"][s[1]] for s in sel_src])
+        z = np.concatenate([out["z"][lid_keep],
+                            np.zeros(len(all_u) - n_sens, np.float32)])
         if all_u.size == 0:
             return
-        (au_p, av_p), n_raw = self._pad_bucket([all_u, all_v])
-        pc = trace_ops.pattern_colors(frame["dI"][0], jnp.asarray(au_p),
-                                      jnp.asarray(av_p))
-        col, wgt, gradH, finite, gcen, score = jax.device_get(
-            pc + (shi_tomasi(frame["dI"][0], jnp.asarray(au_p),
-                             jnp.asarray(av_p)),))
-        col, wgt, gradH, finite, gcen, score = (
-            col[:n_raw], wgt[:n_raw], gradH[:n_raw], finite[:n_raw],
-            gcen[:n_raw], score[:n_raw])
         max_score = score[:n_sens].max() if n_sens else 1.0
 
-        good = finite.copy()
-        rows = self._free_im_rows(int(good.sum()))
-        sel = np.nonzero(good)[0][:len(rows)]
+        rows = self._free_im_rows(len(all_u))
+        sel = np.arange(len(all_u))[:len(rows)]
         im = self.im
         self.im_valid[rows] = True
         im["u"][rows] = all_u[sel]
@@ -866,7 +882,7 @@ class FullSystem:
         im["pixel_interval"][rows] = 0.0
         is_sens = sel < n_sens
         im["is_sensor"][rows] = is_sens
-        zsel = np.concatenate([z, np.zeros(len(mxs))])[sel]
+        zsel = z[sel]
         idep = np.where(zsel > 0, 1.0 / np.maximum(zsel, 1e-6), 0.0)
         im["idepth_min"][rows] = np.where(is_sens, idep, 0.0)
         im["idepth_max"][rows] = np.where(is_sens, idep, np.inf)
@@ -1046,6 +1062,7 @@ class FullSystem:
         ok_idx = idx[success]
         rows = self._free_pt_rows(ok_idx.size)
         ok_idx = ok_idx[:rows.size]
+        self._just_activated = rows
         if rows.size:
             g = im["grad_center"][ok_idx]
             self.pt_valid[rows] = True
@@ -1090,6 +1107,25 @@ class FullSystem:
             upd = m & hf
             self.matcher_px[upd, newest_slot] = px[upd]
             self.matcher_valid[upd, newest_slot] = True
+            # the tracking-time cache predates this keyframe's activations:
+            # just-activated points need a fresh pass into the newest frame
+            # (the reference's backprojectMap pass 1 runs AFTER
+            # activatePointsMT, FullSystem.cpp:1103-1110, so new actives get
+            # matcher pixels too)
+            fresh = np.zeros(self.N, bool)
+            fresh[getattr(self, "_just_activated", np.zeros(0, int))] = True
+            fresh &= hf
+            if fresh.any():
+                res = self._match_into(frame,
+                                       np.linalg.inv(self.T_cw[newest_slot]),
+                                       self.aff[newest_slot],
+                                       host_filter=fresh,
+                                       target_slot=newest_slot)
+                if res is not None:
+                    m2, px2, _ = res
+                    upd2 = m2 & fresh
+                    self.matcher_px[upd2, newest_slot] = px2[upd2]
+                    self.matcher_valid[upd2, newest_slot] = True
         else:
             res = self._match_into(frame,
                                    np.linalg.inv(self.T_cw[newest_slot]),
