@@ -242,6 +242,19 @@ def project_to_camera(xyz_img, seg_mask, is_ground, R_cl, t_cl, fx, fy, cx, cy,
     gflat = jnp.zeros((w * h + 1,), jnp.bool_).at[jnp.where(win, pix, w * h)].max(grd)
     ground_map = gflat[:w * h].reshape(h, w)
     depth_map = jnp.where(jnp.isfinite(depth_map), depth_map, 0.0)
+    # the winning candidate's exact float projection per pixel: the
+    # reference creates each LiDAR immature point at the candidate's float
+    # (Ku, Kv) with that candidate's own depth (FullSystem.cpp:1313-1315);
+    # creating it at the integer pixel instead misaligns depth and image
+    # content by up to ~0.7 px, which on slanted surfaces is a 1-3% depth
+    # error baked into a *trusted* (never re-optimized) depth.
+    wpix = jnp.where(win, pix, w * h)
+    fku = jnp.full((w * h + 1,), -1.0, xyz_img.dtype).at[wpix].max(
+        jnp.where(win, ku, -1.0))
+    fkv = jnp.full((w * h + 1,), -1.0, xyz_img.dtype).at[wpix].max(
+        jnp.where(win, kv, -1.0))
+    px_u_map = fku[:w * h].reshape(h, w)
+    px_v_map = fkv[:w * h].reshape(h, w)
 
     # LiDAR bbox area over projected candidates (lidarCloudHandler tracks
     # left/right/up/down, main.cpp:820-838) — on device so selection density
@@ -264,6 +277,8 @@ def project_to_camera(xyz_img, seg_mask, is_ground, R_cl, t_cl, fx, fy, cx, cy,
         ground_ratio=ground_ratio,
         depth_map=depth_map,
         ground_map=ground_map,
+        px_u_map=px_u_map,
+        px_v_map=px_v_map,
         bbox_area=bbox_area,
     )
 

@@ -232,7 +232,8 @@ def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
 
 @partial(jax.jit, static_argnames=("pot", "cap",
                                    "select_direction_distribution"))
-def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, key,
+def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, px_u_map,
+                   px_v_map, key,
                    pot: int, cap: int, th_factor: float = 1.0,
                    min_grad_hist_cut: float = 0.5,
                    min_grad_hist_add: float = 3.0,
@@ -266,15 +267,24 @@ def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, key,
     idx_c = jnp.minimum(idx, h * w - 1)
     vs = (idx_c // w).astype(jnp.float32)
     us = (idx_c % w).astype(jnp.float32)
+    z = depth_map[(idx_c // w), (idx_c % w)]
+    # LiDAR-depth candidates live at the winning candidate's exact float
+    # projection (FullSystem.cpp:1313: point created at the candidate's
+    # float Ku/Kv with its own depth); mono candidates at the pixel itself
+    fu = px_u_map[(idx_c // w), (idx_c % w)]
+    fv = px_v_map[(idx_c // w), (idx_c % w)]
+    use_f = (z > 0) & (fu >= 0) & (fv >= 0)
+    us = jnp.where(use_f, fu, us)
+    vs = jnp.where(use_f, fv, vs)
     col, wgt, gradH, finite, gcen = pattern_colors(dI0, us, vs)
     score = shi_tomasi(dI0, us, vs)
-    z = depth_map[(idx_c // w), (idx_c % w)]
     return dict(u=us, v=vs, valid=valid, counts=counts, n_sel=n_sel,
                 color=col, weights=wgt, gradH=gradH,
                 finite=finite & valid, gcen=gcen, score=score, z=z)
 
 
-def make_maps_compact(dI0, abs_grads, cand_mask, depth_map, density, key,
+def make_maps_compact(dI0, abs_grads, cand_mask, depth_map, px_u_map,
+                      px_v_map, density, key,
                       pot_state: dict, settings: Settings, cap: int,
                       th_factor: float = 1.0, sub_seed: int = 0):
     """Density-feedback wrapper around select_compact (makeMaps /
@@ -289,7 +299,7 @@ def make_maps_compact(dI0, abs_grads, cand_mask, depth_map, density, key,
     for recursion in range(2):
         out = jax.device_get(select_compact(
             dI0, abs_grads[0], abs_grads[1], abs_grads[2], cand_mask,
-            depth_map, key, pot, cap, th_factor,
+            depth_map, px_u_map, px_v_map, key, pot, cap, th_factor,
             settings.min_grad_hist_cut, settings.min_grad_hist_add,
             settings.grad_downweight_per_level,
             settings.select_direction_distribution))

@@ -55,8 +55,25 @@ def _residuals(T_wc_inv, pts_world, obs_uv, valid, K, w, h):
     return res_n, pix_energy, ok, pf
 
 
+def _mad_sigma(x, ok):
+    """Robust scale 1.4826 * MAD of masked residual norms."""
+    xm = jnp.where(ok, x, jnp.nan)
+    med = jnp.nanmedian(xm)
+    mad = jnp.nanmedian(jnp.where(ok, jnp.abs(x - med), jnp.nan))
+    return 1.4826 * mad
+
+
 def _build_system(res_n, ok, pf):
-    """Tukey-weighted 6x6 normal equations (calcHandb:889-947)."""
+    """Tukey-weighted 6x6 normal equations (calcHandb:889-947).
+
+    Deviation from the reference: calculateWeight (CoarseTracker.cpp:873-887)
+    applies Tukey's b=4.6851 to the RAW normalized-plane residual norm, which
+    is ~1e-3 — every weight is 1.0 and the `Tukey bi-square weights` of the
+    paper never actually clip. We standardize by the robust (MAD) scale of
+    the current residual set first, which is what the b=4.6851 constant is
+    defined for; without it a handful of bad matches can drag the whole
+    6-DoF solve (observed: 0.16 m -> 0.8 m pose error on a 22-match frame).
+    """
     x, y, z = pf[:, 0], pf[:, 1], pf[:, 2]
     iz = 1.0 / jnp.where(z == 0, 1.0, z)
     iz2 = iz * iz
@@ -67,9 +84,10 @@ def _build_system(res_n, ok, pf):
                     -y * iz], axis=-1)
     Jy = jnp.stack([zero, iz, -y * iz2, -(one + y * y * iz2), x * y * iz2,
                     x * iz], axis=-1)
-    wgt = jnp.where(ok, _tukey(jnp.linalg.norm(res_n, axis=-1)), 0.0)
+    rn = jnp.linalg.norm(res_n, axis=-1)
+    sigma = jnp.maximum(_mad_sigma(rn, ok), 1e-5)
+    wgt = jnp.where(ok, _tukey(rn / sigma), 0.0)
     J = jnp.stack([Jx, Jy], axis=1)                  # (N, 2, 6)
-    r = res_n[..., None]                              # (N, 2, 1)
     H = jnp.einsum("nai,n,naj->ij", J, wgt, J)
     b = jnp.einsum("nai,n,na->i", J, wgt, res_n)
     return H, b
@@ -91,8 +109,21 @@ def struct_pose_estimate(T_cur_to_world, pts_world, obs_uv, valid, K, w, h,
     """
     T_wc = se3.inverse(T_cur_to_world)
 
+    # robust objective scale frozen at the initial residual set so the
+    # accept/reject energy is a consistent function across iterations
+    rn0, _, ok0, _ = _residuals(T_wc, pts_world, obs_uv, valid, K, w, h)
+    sigma0 = jnp.maximum(_mad_sigma(jnp.linalg.norm(rn0, axis=-1), ok0), 1e-5)
+    b2_6 = TUKEY_B * TUKEY_B / 6.0
+
+    def _rho(x):
+        t = 1.0 - jnp.square(x / TUKEY_B)
+        return jnp.where(jnp.abs(x) <= TUKEY_B,
+                         b2_6 * (1.0 - t * t * t), b2_6)
+
     def energy(Twc):
-        _, pe, ok, _ = _residuals(Twc, pts_world, obs_uv, valid, K, w, h)
+        res_n, _, ok, _ = _residuals(Twc, pts_world, obs_uv, valid, K, w, h)
+        rn = jnp.linalg.norm(res_n, axis=-1)
+        pe = jnp.where(ok, _rho(rn / sigma0), 0.0)
         n = jnp.sum(ok)
         return jnp.sum(pe) / jnp.maximum(n, 1), n
 

@@ -219,6 +219,29 @@ class FullSystem:
         free = np.nonzero(~self.im_valid)[0]
         return free[:n]
 
+    def _pair_transforms(self):
+        """(F*F) host->target R/t/affine for used slot pairs
+        (FrameFramePrecalc::set equivalents for the activation GN)."""
+        T_cw_f = self.T_cw
+        F = self.F
+        R_pair = np.tile(np.eye(3, dtype=np.float32), (F * F, 1, 1))
+        t_pair = np.zeros((F * F, 3), np.float32)
+        aff_pair = np.tile(np.array([1.0, 0.0], np.float32), (F * F, 1))
+        for hslot in range(F):
+            if not self.slot_used[hslot]:
+                continue
+            T_wc_h = np.linalg.inv(T_cw_f[hslot])
+            for tslot in range(F):
+                if not self.slot_used[tslot]:
+                    continue
+                p = hslot * F + tslot
+                T_ht = T_cw_f[tslot] @ T_wc_h
+                R_pair[p] = T_ht[:3, :3]
+                t_pair[p] = T_ht[:3, 3]
+                a = np.exp(self.aff[tslot][0] - self.aff[hslot][0])
+                aff_pair[p] = [a, self.aff[tslot][1] - a * self.aff[hslot][1]]
+        return R_pair, t_pair, aff_pair
+
     @staticmethod
     def _pad_bucket(arrs, bucket=512):
         """Pad a list of equal-length arrays to the next bucket multiple so
@@ -304,7 +327,8 @@ class FullSystem:
         density = 0.03 * lidar_area  # densities[0] (CoarseInitializer.cpp:780)
         cand = scan["depth_map"] > 0
         out, keep = make_maps_compact(
-            fr["dI"][0], fr["abs_grad"], cand, scan["depth_map"], density,
+            fr["dI"][0], fr["abs_grad"], cand, scan["depth_map"],
+            scan["px_u_map"], scan["px_v_map"], density,
             self._next_key(), {"pot": 3}, self.s, cap=self.s.n_select_cap,
             sub_seed=self.s.seed)
         # keepPercentage subsampling toward the active density target
@@ -815,6 +839,7 @@ class FullSystem:
         cand = scan["depth_map"] > 0
         out, keep = make_maps_compact(
             frame["dI"][0], frame["abs_grad"], cand, scan["depth_map"],
+            scan["px_u_map"], scan["px_v_map"],
             density, self._next_key(), self.pot_state, self.s,
             cap=self.s.n_select_cap,
             sub_seed=self.s.seed + len(self.shells))
@@ -829,6 +854,7 @@ class FullSystem:
             mout, mkeep = make_maps_compact(
                 frame["dI"][0], frame["abs_grad"],
                 jnp.ones((self.h, self.w), bool), scan["depth_map"],
+                scan["px_u_map"], scan["px_v_map"],
                 self.s.desired_immature_density, self._next_key(),
                 self.pot_state, self.s, cap=self.s.n_select_cap,
                 sub_seed=self.s.seed + 7919 + len(self.shells))
@@ -920,7 +946,9 @@ class FullSystem:
             d += 0.1
         self.current_min_act_dist = float(np.clip(d, 0.0, 4.0))
 
-        # distance map on level-1 grid from projected active points
+        # --- the whole stage (distance map + eligibility + spread test +
+        # activation GN) is ONE device program with ONE readback ---
+        from sdv_loam_tpu.system.kf_ops import activate_full
         T_cw = self.T_cw
         T_new = T_cw[newest_slot]
         w1, h1 = self.calib.w[1], self.calib.h[1]
@@ -930,134 +958,53 @@ class FullSystem:
         K0i = np.linalg.inv(np.array(
             [[self.K0[0], 0, self.K0[2]], [0, self.K0[1], self.K0[3]],
              [0, 0, 1]]))
-        pu = np.zeros(self.N, np.int32)
-        pv = np.zeros(self.N, np.int32)
-        pvalid = np.zeros(self.N, bool)
+        F = self.F
+        KRKi1 = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+        Kt1 = np.zeros((F, 3), np.float32)
         for slot in self.order:
-            if slot == newest_slot:
-                continue
-            m = self.pt_valid & (self.pt["host"] == slot)
-            if not m.any():
-                continue
             T_h2n = T_new @ np.linalg.inv(T_cw[slot])
-            KRKi = K1 @ T_h2n[:3, :3] @ K0i
-            Kt = K1 @ T_h2n[:3, 3]
-            p = np.stack([self.pt["u"][m], self.pt["v"][m],
-                          np.ones(m.sum())], -1)
-            ptp = p @ KRKi.T + Kt * self.pt["idepth"][m][:, None]
-            uu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(np.int32)
-            vv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(np.int32)
-            idx = np.nonzero(m)[0]
-            pu[idx] = uu
-            pv[idx] = vv
-            pvalid[idx] = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-        dmap = jax.device_get(distance_map(jnp.asarray(pu), jnp.asarray(pv),
-                                           jnp.asarray(pvalid), w1, h1))
+            KRKi1[slot] = K1 @ T_h2n[:3, :3] @ K0i
+            Kt1[slot] = K1 @ T_h2n[:3, 3]
+        R_pair, t_pair, aff_pair = self._pair_transforms()
 
         im = self.im
-        imv = self.im_valid
-        # mono points hosted in the newest KF are not activated yet
-        eligible = imv & ~((~im["is_sensor"]) & (im["host"] == newest_slot))
-        # delete never-traced / outlier points
-        dead = eligible & (~np.isfinite(im["idepth_max"])
-                           | (im["status"] == trace_ops.IPS_OUTLIER))
-        # count removals against host frames
+        out = jax.device_get(activate_full(
+            jnp.asarray(im["u"]), jnp.asarray(im["v"]),
+            jnp.asarray(im["idepth_min"]), jnp.asarray(im["idepth_max"]),
+            jnp.asarray(im["status"]), jnp.asarray(im["quality"]),
+            jnp.asarray(im["pixel_interval"]), jnp.asarray(im["host"]),
+            jnp.asarray(im["is_sensor"]), jnp.asarray(im["color"]),
+            jnp.asarray(im["weights"]), jnp.asarray(im["energy_th"]),
+            jnp.asarray(im["my_type"]), jnp.asarray(self.im_valid),
+            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+            jnp.asarray(self.pt_valid),
+            jnp.int32(newest_slot), jnp.asarray(self.slot_used),
+            jnp.asarray(self.slot_flagged),
+            jnp.asarray(KRKi1), jnp.asarray(Kt1),
+            jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
+            self.dI0_stack, jnp.asarray(self.K0),
+            jnp.float32(self.current_min_act_dist),
+            jnp.float32(s.min_trace_quality),
+            jnp.float32(s.min_idepth_h_act),
+            w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
+            a_cap=self.M, gn_iters=s.gn_its_on_point_activation))
+
+        dead = out["dead"]
+        kill = out["kill"]
+        drop_oob = out["drop_oob"]
         for slot in self.order:
-            self.slot_stats_out[slot] += int((dead & (im["host"] == slot)).sum())
-        self.im_valid[dead] = False
-        eligible &= ~dead
+            hm = im["host"] == slot
+            self.slot_stats_out[slot] += int(((dead | kill) & hm).sum())
+        self.im_valid[dead | kill | drop_oob] = False
 
-        can = (np.isin(im["status"], [trace_ops.IPS_GOOD,
-                                      trace_ops.IPS_SKIPPED,
-                                      trace_ops.IPS_BADCONDITION,
-                                      trace_ops.IPS_OOB])
-               & (im["pixel_interval"] < 8)
-               & (im["quality"] > s.min_trace_quality)
-               & ((im["idepth_max"] + im["idepth_min"]) > 0))
-        cannot = eligible & ~can
-        kill = cannot & (self.slot_flagged[im["host"]]
-                         | (im["status"] == trace_ops.IPS_OOB))
-        for slot in self.order:
-            self.slot_stats_out[slot] += int((kill & (im["host"] == slot)).sum())
-        self.im_valid[kill] = False
-        cand = eligible & can
-
-        # spread test via the distance map
-        if cand.any():
-            idx = np.nonzero(cand)[0]
-            mid = 0.5 * (np.clip(im["idepth_max"][idx], 0, 1e6)
-                         + im["idepth_min"][idx])
-            keep = np.zeros(len(idx), bool)
-            for slot in self.order:
-                mm = im["host"][idx] == slot
-                if not mm.any():
-                    continue
-                T_h2n = T_new @ np.linalg.inv(T_cw[slot])
-                KRKi = K1 @ T_h2n[:3, :3] @ K0i
-                Kt = K1 @ T_h2n[:3, 3]
-                p = np.stack([im["u"][idx[mm]], im["v"][idx[mm]],
-                              np.ones(mm.sum())], -1)
-                ptp = p @ KRKi.T + Kt * mid[mm][:, None]
-                uu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(np.int32)
-                vv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(np.int32)
-                inb = (uu > 0) & (vv > 0) & (uu < w1) & (vv < h1)
-                dist = np.where(inb, dmap[np.clip(vv, 0, h1 - 1),
-                                          np.clip(uu, 0, w1 - 1)]
-                                + (ptp[:, 0] - np.floor(ptp[:, 0])), -1)
-                my_type = im["my_type"][idx[mm]]
-                k = inb & (dist >= self.current_min_act_dist * my_type)
-                keep[np.nonzero(mm)[0][k]] = True
-                # out-of-level-1 points are deleted (activatePointsMT:714-718)
-                drop = ~inb
-                self.im_valid[idx[mm][drop]] = False
-            idx = idx[keep]
-        else:
-            idx = np.zeros(0, int)
-
+        lane = out["lane_valid"]
+        idx = out["cand_idx"][lane]
+        success = out["success"][lane]
+        new_idepth = out["idepth"][lane]
+        inlier_t = out["inlier_targets"][lane]
         if idx.size == 0:
             return
-
-        # batched activation GN
-        T_cw_f = self.T_cw
-        F = self.F
-        R_pair = np.zeros((F * F, 3, 3), np.float32)
-        t_pair = np.zeros((F * F, 3), np.float32)
-        aff_pair = np.tile(np.array([1.0, 0.0], np.float32), (F * F, 1))
-        for hslot in range(F):
-            for tslot in range(F):
-                p = hslot * F + tslot
-                if self.slot_used[hslot] and self.slot_used[tslot]:
-                    T_ht = T_cw_f[tslot] @ np.linalg.inv(T_cw_f[hslot])
-                    R_pair[p] = T_ht[:3, :3]
-                    t_pair[p] = T_ht[:3, 3]
-                    a = np.exp(self.aff[tslot][0] - self.aff[hslot][0])
-                    aff_pair[p] = [a, self.aff[tslot][1] - a * self.aff[hslot][1]]
-                else:
-                    R_pair[p] = np.eye(3)
-
-        cap = min(idx.size, self.N)
-        idx = idx[:cap]
-        id_init = 0.5 * (np.clip(im["idepth_max"][idx], 0, 1e6)
-                         + im["idepth_min"][idx])
-        valid_batch = np.ones(idx.size, bool)
-        (bu, bv, bid, bcol, bwgt, bhost, bsens, bval, beth), n_raw =             self._pad_bucket([
-                im["u"][idx], im["v"][idx], id_init.astype(np.float32),
-                im["color"][idx], im["weights"][idx], im["host"][idx],
-                im["is_sensor"][idx], valid_batch, im["energy_th"][idx]])
-        out = trace_ops.activate_points(
-            jnp.asarray(bu), jnp.asarray(bv), jnp.asarray(bid),
-            jnp.asarray(bcol), jnp.asarray(bwgt), jnp.asarray(bhost),
-            jnp.asarray(bsens), jnp.asarray(bval),
-            jnp.asarray(self.slot_used),
-            jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
-            self.dI0_stack, jnp.asarray(self.K0), jnp.asarray(beth),
-            w=self.w, h=self.h, n_frames=F,
-            min_idepth_h_act=s.min_idepth_h_act, min_obs=1,
-            gn_iters=s.gn_its_on_point_activation)
-        out = jax.device_get(out)
-        success = out["success"][:n_raw]
-        new_idepth = out["idepth"][:n_raw]
-        inlier_t = out["inlier_targets"][:n_raw]
 
         ok_idx = idx[success]
         rows = self._free_pt_rows(ok_idx.size)

@@ -97,7 +97,7 @@ def test_window_churn(churn_result):
     # sub-matcher-noise here): ~1% drift is the floor for this image size.
     # KITTI-scale accuracy is asserted by the benchmark (1200x360, fx=718:
     # ~0.15% ATE) and the slow long-run test.
-    assert a < 0.013 * dist, f"ATE {a} over {dist} m"
+    assert a < 0.010 * dist, f"ATE {a} over {dist} m"
     t_rpe, r_rpe = rpe(est, seq.poses_wc[:n])
-    assert t_rpe < 0.13, t_rpe
+    assert t_rpe < 0.16, t_rpe
     assert r_rpe < 0.025, r_rpe
