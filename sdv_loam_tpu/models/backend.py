@@ -790,15 +790,14 @@ def ba_optimize(win, settings, max_iters: int):
 # fully-jitted LM driver: one device program per keyframe
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_frames", "w", "h"))
-def ba_optimize_jit(T_cw_fej, eps, calib, calib_zero, frame_valid,
-                    frame_prior, c_prior, aff, exposure, HM, bM, newest,
-                    frame_energy_th, pt_u, pt_v, pt_idepth, pt_host,
-                    pt_color, pt_weights, pt_is_sensor, pt_prior,
-                    res_active, res_state, matcher_px, matcher_valid,
-                    dI0_stack, max_iters, min_opt_iterations,
-                    th_opt_iterations, force_accept,
-                    n_frames: int, w: int, h: int):
+def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
+            frame_prior, c_prior, aff, exposure, HM, bM, newest,
+            frame_energy_th, pt_u, pt_v, pt_idepth, pt_host,
+            pt_color, pt_weights, pt_is_sensor, pt_prior,
+            res_active, res_state, matcher_px, matcher_valid,
+            dI0_stack, max_iters, min_opt_iterations,
+            th_opt_iterations, force_accept,
+            n_frames: int, w: int, h: int):
     """The whole windowed LM (FullSystem::optimize) as ONE device program.
 
     All data-dependent control flow (accept/reject, lambda schedule,
@@ -911,10 +910,19 @@ def ba_optimize_jit(T_cw_fej, eps, calib, calib_zero, frame_valid,
                          n_frames=F)
     rmse = jnp.sqrt(jnp.sum(lin_f["energy"])
                     / jnp.maximum(jnp.sum(lin_f["new_state"] == RES_IN), 1))
-    return dict(eps=eps_out, calib=calib_f, idepth=idepth_f, feth=feth_f,
-                T_cw_fej=T_cw_fej_out, new_state=lin_f["new_state"],
-                center=lin_f["center"], Hdd=sys_f["Hdd"], energy=E_f,
-                rmse=rmse)
+    out = dict(eps=eps_out, calib=calib_f, idepth=idepth_f, feth=feth_f,
+               T_cw_fej=T_cw_fej_out, new_state=lin_f["new_state"],
+               center=lin_f["center"], Hdd=sys_f["Hdd"], energy=E_f,
+               rmse=rmse)
+    return out, lin_f, pairs_f
+
+
+@partial(jax.jit, static_argnames=("n_frames", "w", "h"))
+def ba_optimize_jit(*args, n_frames: int, w: int, h: int):
+    """jit wrapper over ba_core (kept for direct callers/tests; kf_ops
+    composes ba_core into the fused keyframe program)."""
+    out, _, _ = ba_core(*args, n_frames=n_frames, w=w, h=h)
+    return out
 
 
 @partial(jax.jit, static_argnames=("n_frames", "w", "h"))

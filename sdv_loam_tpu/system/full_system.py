@@ -26,12 +26,10 @@ import jax.numpy as jnp
 from sdv_loam_tpu.config import Settings
 from sdv_loam_tpu.data.calib import SensorCalib
 from sdv_loam_tpu.models import backend
-from sdv_loam_tpu.models.matcher import reproject_and_match
 from sdv_loam_tpu.ops import lidar as lidar_ops
 from sdv_loam_tpu.ops import trace as trace_ops
 from sdv_loam_tpu.ops.align import flatten_pyramid
-from sdv_loam_tpu.ops.distmap import distance_map
-from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth, track_pyramid
+from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth
 from sdv_loam_tpu.ops.pyramid import make_images
 from sdv_loam_tpu.ops.select import make_maps_compact
 
@@ -528,56 +526,6 @@ class FullSystem:
         frame["track_rmse"] = res[0]
         return bool(np.isfinite(flow).all() and np.isfinite(res[0]))
 
-    def _match_into(self, frame, T_wc_target, aff_target,
-                    host_filter=None, target_slot=None):
-        """Run the Reprojector against a target frame.
-
-        Returns (matched (N,), px (N,2), world_pts (N,3)) or None."""
-        if not self.pt_valid.any():
-            return None
-        flat, offs, ws, hs = frame.get("flat") or flatten_pyramid(frame["dI"])
-        valid = self.pt_valid.copy()
-        if host_filter is not None:
-            valid &= host_filter
-
-        n_window = len(self.order)
-        ref_idx = self.pt["host"].copy()
-        if n_window <= 2 and n_window == 2:
-            # findMatchDirect:242-252 special case
-            a, b = self.order[0], self.order[1]
-            if target_slot == a:
-                ref_idx[:] = b
-            elif target_slot == b:
-                ref_idx[:] = a
-            else:
-                ref_idx[:] = a
-
-        T_cw = self.T_cw
-        T_wc_stack = np.linalg.inv(T_cw)
-        out = reproject_and_match(
-            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-            jnp.asarray(self.pt["type"]), jnp.asarray(valid),
-            jnp.asarray(self.pt["quality"]),
-            jnp.asarray(T_wc_stack, jnp.float32),
-            jnp.asarray(self.aff), jnp.asarray(self.exposure),
-            self.dI0_stack, flat, offs, ws, hs,
-            jnp.asarray(T_wc_target, jnp.float32),
-            jnp.asarray(aff_target, jnp.float32), jnp.float32(1.0),
-            jnp.asarray(self.K0), jnp.asarray(ref_idx),
-            w=self.w, h=self.h, max_level=self.levels - 1)
-        out = jax.device_get(out)
-        m = np.asarray(out["matched"])
-        px = np.asarray(out["px"])
-        # world points
-        xn = (self.pt["u"] - self.K0[2]) / self.K0[0]
-        yn = (self.pt["v"] - self.K0[3]) / self.K0[1]
-        pr = np.stack([xn, yn, np.ones_like(xn)], -1) / \
-            np.maximum(self.pt["idepth"], 1e-9)[:, None]
-        T_wc_h = T_wc_stack[self.pt["host"]]
-        pw = np.einsum("nij,nj->ni", T_wc_h[:, :3, :3], pr) + T_wc_h[:, :3, 3]
-        return m, px, pw
-
     def _keyframe_decision(self, frame) -> bool:
         s = self.s
         flow = frame["flow"]
@@ -754,18 +702,10 @@ class FullSystem:
 
         with self.telemetry.stage("kf.activate"):
             self._activate_points(frame, slot)
-        with self.telemetry.stage("kf.matcher"):
-            self._refresh_matcher(frame, slot)
-        with self.telemetry.stage("kf.ba"):
-            self._optimize_window(slot)
+        with self.telemetry.stage("kf.opt"):
+            self._kf_opt(frame, slot)
         if self.is_lost:
             return
-        self._remove_outliers()
-        with self.telemetry.stage("kf.trackref"):
-            self._set_coarse_tracking_ref(slot)
-        with self.telemetry.stage("kf.marg"):
-            self._flag_points_for_removal_and_marginalize(slot)
-            self._marginalize_frames()
 
         self._im_dev = None  # host pool mutated (new traces / activation)
         self._pt_dev = None
@@ -785,6 +725,153 @@ class FullSystem:
                 ob.publish_keyframes(
                     [self.frame_kf_id[sl] for sl in self.order],
                     T_wc[self.order], pw, self.pt["host"][m])
+
+    def _kf_opt(self, frame, slot):
+        """Matcher refresh + windowed BA + outlier removal + tracking-ref
+        splat + point/frame marginalization: ONE device program
+        (kf_ops.kf_opt_step) and ONE readback of the small control state.
+        Replaces five dispatch+readback stages of the round-1 pipeline."""
+        from sdv_loam_tpu.system.kf_ops import kf_opt_step
+        s = self.s
+        F = self.F
+        N = self.N
+        iters = s.max_opt_iterations
+        if len(self.order) < 3:
+            iters = 100
+        elif len(self.order) < 4:
+            iters = 75
+
+        # tracking-time match cache into this frame (pre-activation points)
+        cached = frame.get("match_newest")
+        if cached is not None:
+            cm, cpx = cached
+            cm = np.asarray(cm, bool)
+            cpx = np.asarray(cpx, np.float32)
+        else:
+            cm = np.zeros(N, bool)
+            cpx = np.zeros((N, 2), np.float32)
+        just = np.zeros(N, bool)
+        just[getattr(self, "_just_activated", np.zeros(0, int))] = True
+        if cached is None:
+            # no cache: run the device matcher pass for every old-host point
+            just = self.pt_valid & (self.pt["host"] != slot)
+
+        # reference-frame indices (findMatchDirect:242-252 window<=2 case)
+        n_window = len(self.order)
+        ref_idx_newest = self.pt["host"].copy()
+        if n_window == 2:
+            ref_idx_newest[:] = self.order[0]
+        ref_idx_multi = np.tile(self.pt["host"][None, :], (F, 1))
+        multi_mask = np.zeros(F, bool)
+        for sl in self.order[:-1]:
+            multi_mask[sl] = True
+        if n_window == 2:
+            a, b = self.order[0], self.order[1]
+            for si in range(F):
+                ref_idx_multi[si, :] = b if si == a else a
+
+        flat_newest, offs, ws, hs = frame["flat"]
+        flat_stack = jnp.stack(
+            [(self.flat_slots[sl] or frame["flat"])[0] for sl in range(F)])
+        prior_marg = np.where(self.pt["prior"] > 0,
+                              self.pt["prior"] * s.idepth_fix_prior_marg_fac,
+                              0.0).astype(np.float32)
+
+        out = kf_opt_step(
+            jnp.asarray(self.T_cw_fej, jnp.float32),
+            jnp.asarray(self.eps, jnp.float32),
+            jnp.asarray(self.K0), jnp.asarray(self.K0),
+            jnp.asarray(self.slot_used), jnp.asarray(self.frame_prior),
+            jnp.full(4, s.initial_calib_hessian / 2500.0, jnp.float32),
+            jnp.asarray(self.aff), jnp.asarray(self.exposure),
+            jnp.asarray(self.HM, jnp.float32),
+            jnp.asarray(self.bM, jnp.float32),
+            jnp.int32(slot), jnp.asarray(self.fe_th),
+            jnp.asarray(self.slot_flagged),
+            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
+            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
+            jnp.asarray(self.pt["color"]), jnp.asarray(self.pt["weights"]),
+            jnp.asarray(self.pt["is_sensor"]), jnp.asarray(self.pt["prior"]),
+            jnp.asarray(self.pt_valid), jnp.asarray(self.pt["type"]),
+            jnp.asarray(self.pt["quality"]),
+            jnp.asarray(self.pt["idepth_hessian"]),
+            jnp.asarray(self.pt["num_good_res"]),
+            jnp.asarray(self.res_active), jnp.asarray(self.res_state),
+            jnp.asarray(self.res_is_new),
+            jnp.asarray(self.matcher_px), jnp.asarray(self.matcher_valid),
+            self.dI0_stack,
+            jnp.asarray(just), jnp.bool_(cached is not None),
+            jnp.asarray(cm), jnp.asarray(cpx),
+            flat_newest, offs, ws, hs, flat_stack,
+            jnp.asarray(ref_idx_newest), jnp.asarray(ref_idx_multi),
+            jnp.asarray(multi_mask),
+            frame["dI"],
+            jnp.int32(iters), jnp.int32(s.min_opt_iterations),
+            jnp.float32(s.th_opt_iterations), jnp.bool_(s.force_accept_step),
+            jnp.asarray(prior_marg), jnp.float32(s.marg_weight_fac),
+            jnp.int32(s.min_good_active_res_for_marg),
+            jnp.int32(s.min_good_res_for_marg),
+            jnp.float32(s.min_idepth_h_marg),
+            n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
+            levels=self.levels)
+
+        small = jax.device_get({k: out[k] for k in (
+            "eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
+            "stats_out", "idepth", "new_state", "pt_valid", "num_good_res",
+            "idepth_hessian", "res_active", "matcher_px", "matcher_valid",
+            "center")})
+
+        if not np.isfinite(small["energy"]):
+            print("KF Tracking failed: LOST!")
+            self.is_lost = True
+            return
+
+        # window state
+        self.T_cw_fej = np.array(small["T_cw_fej"], np.float64)
+        self.eps = np.array(small["eps"], np.float64)
+        self.K0 = np.array(small["calib"], np.float32)
+        self.fe_th = np.array(small["feth"], np.float32)
+        self.HM = np.array(small["HM"], np.float64)
+        self.bM = np.array(small["bM"], np.float64)
+        self.slot_stats_out += np.array(small["stats_out"], np.int64)
+
+        # pool state
+        self.pt["idepth"] = np.array(small["idepth"], np.float32)
+        self.res_state = np.array(small["new_state"])
+        self.pt_valid = np.array(small["pt_valid"])
+        self.pt["num_good_res"] = np.array(small["num_good_res"])
+        self.pt["idepth_hessian"] = np.array(small["idepth_hessian"],
+                                             np.float32)
+        self.res_active = np.array(small["res_active"])
+        self.matcher_px = np.array(small["matcher_px"], np.float32)
+        self.matcher_valid = np.array(small["matcher_valid"])
+        self.centers = np.array(small["center"], np.float32)
+        self.res_is_new[:] = False
+
+        # new coarse-tracking reference (device-resident pools)
+        self.track_ref = out["track_ref"]
+        self.track_ref_slot = slot
+        self.track_ref_aff = self.aff[slot].copy()
+        self.first_coarse_rmse = -1.0
+
+        # shell updates for in-window frames (optimize():494-500)
+        T_wc = np.linalg.inv(self.T_cw)
+        for sl in self.order:
+            self.shells[self.frame_shell_idx[sl]]["T_wc"] = T_wc[sl]
+            self.shells[self.frame_shell_idx[sl]]["aff"] = self.aff[sl]
+
+        # frame-marginalization host bookkeeping (device already folded the
+        # flagged slots into HM/bM and dropped their residuals/points)
+        for sl in [x for x in self.order if self.slot_flagged[x]]:
+            imh = self.im_valid & (self.im["host"] == sl)
+            self.im_valid[imh] = False
+            self.slot_used[sl] = False
+            self.slot_flagged[sl] = False
+            self.order.remove(sl)
+            self.pyr_slots[sl] = None
+            self.flat_slots[sl] = None
+            self.eps[sl] = 0.0
+            self.frame_prior[sl] = 0.0
 
     def _flag_frames_for_marginalization(self):
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:25-94)."""
@@ -1043,190 +1130,6 @@ class FullSystem:
         for slot in self.order:
             self.slot_stats_out[slot] += int((im["host"][idx[failed]] == slot).sum())
 
-    def _refresh_matcher(self, frame, newest_slot):
-        """backprojectMap passes at KF time (makeKeyFrame:1105-1131)."""
-        # old points -> new frame: reuse the matches the fused tracking step
-        # already computed into this frame (same pose, same map)
-        hf = self.pt_valid & (self.pt["host"] != newest_slot)
-        cached = frame.get("match_newest")
-        if cached is not None:
-            m, px = cached
-            upd = m & hf
-            self.matcher_px[upd, newest_slot] = px[upd]
-            self.matcher_valid[upd, newest_slot] = True
-            # the tracking-time cache predates this keyframe's activations:
-            # just-activated points need a fresh pass into the newest frame
-            # (the reference's backprojectMap pass 1 runs AFTER
-            # activatePointsMT, FullSystem.cpp:1103-1110, so new actives get
-            # matcher pixels too)
-            fresh = np.zeros(self.N, bool)
-            fresh[getattr(self, "_just_activated", np.zeros(0, int))] = True
-            fresh &= hf
-            if fresh.any():
-                res = self._match_into(frame,
-                                       np.linalg.inv(self.T_cw[newest_slot]),
-                                       self.aff[newest_slot],
-                                       host_filter=fresh,
-                                       target_slot=newest_slot)
-                if res is not None:
-                    m2, px2, _ = res
-                    upd2 = m2 & fresh
-                    self.matcher_px[upd2, newest_slot] = px2[upd2]
-                    self.matcher_valid[upd2, newest_slot] = True
-        else:
-            res = self._match_into(frame,
-                                   np.linalg.inv(self.T_cw[newest_slot]),
-                                   self.aff[newest_slot], host_filter=hf,
-                                   target_slot=newest_slot)
-            if res is not None:
-                m, px, _ = res
-                upd = m & hf
-                self.matcher_px[upd, newest_slot] = px[upd]
-                self.matcher_valid[upd, newest_slot] = True
-        # new frame's points -> each older frame: one vmapped dispatch over
-        # a COMPACTED batch (only the newest KF's points participate)
-        nf = self.pt_valid & (self.pt["host"] == newest_slot)
-        old_slots = self.order[:-1]
-        if nf.any() and old_slots:
-            from sdv_loam_tpu.models.matcher import reproject_and_match_multi
-            T_cw = self.T_cw
-            T_wc = np.linalg.inv(T_cw)
-            S = self.F  # fixed batch: pad with the newest slot, masked out
-            tgt_slots = (old_slots + [newest_slot] * S)[:S]
-            flat_stack = jnp.stack([self.flat_slots[sl][0]
-                                    for sl in tgt_slots])
-            offs, ws, hs = self.flat_slots[newest_slot][1:4]
-
-            nf_idx = np.nonzero(nf)[0]
-            (cu, cv, cid, chost, ctype, cq, cval), n_raw = self._pad_bucket(
-                [self.pt["u"][nf_idx], self.pt["v"][nf_idx],
-                 self.pt["idepth"][nf_idx], self.pt["host"][nf_idx],
-                 self.pt["type"][nf_idx], self.pt["quality"][nf_idx],
-                 np.ones(nf_idx.size, bool)])
-            ref_idx = np.tile(chost[None, :], (S, 1))
-            if len(self.order) == 2:
-                a, b = self.order[0], self.order[1]
-                for si, sl in enumerate(tgt_slots):
-                    ref_idx[si, :] = b if sl == a else a
-            out = jax.device_get(reproject_and_match_multi(
-                jnp.asarray(cu), jnp.asarray(cv), jnp.asarray(cid),
-                jnp.asarray(chost), jnp.asarray(ctype), jnp.asarray(cval),
-                jnp.asarray(cq),
-                jnp.asarray(T_wc, jnp.float32), jnp.asarray(self.aff),
-                jnp.asarray(self.exposure), self.dI0_stack,
-                flat_stack, offs, ws, hs,
-                jnp.asarray(T_wc[tgt_slots], jnp.float32),
-                jnp.asarray(self.aff[tgt_slots]),
-                jnp.asarray(self.exposure[tgt_slots]),
-                jnp.asarray(self.K0), jnp.asarray(ref_idx),
-                w=self.w, h=self.h, max_level=self.levels - 1))
-            for si, slot in enumerate(old_slots):
-                m = out["matched"][si][:n_raw]
-                px = out["px"][si][:n_raw]
-                rows = nf_idx[m]
-                self.matcher_px[rows, slot] = px[m]
-                self.matcher_valid[rows, slot] = True
-                self.res_active[rows, slot] = True
-                self.res_is_new[rows, slot] = True
-
-    def _win_dict(self, newest_slot):
-        D = 4 + 6 * self.F
-        return dict(
-            T_cw_fej=jnp.asarray(self.T_cw_fej, jnp.float32),
-            eps=jnp.asarray(self.eps, jnp.float32),
-            calib=jnp.asarray(self.K0), calib_zero=jnp.asarray(self.K0),
-            frame_valid=jnp.asarray(self.slot_used),
-            frame_prior=jnp.asarray(self.frame_prior),
-            c_prior=jnp.full(4, self.s.initial_calib_hessian / 2500.0,
-                             jnp.float32),
-            aff=jnp.asarray(self.aff), exposure=jnp.asarray(self.exposure),
-            HM=jnp.asarray(self.HM, jnp.float32),
-            bM=jnp.asarray(self.bM, jnp.float32),
-            newest=newest_slot,
-            frame_energy_th=jnp.asarray(self.fe_th),
-            pt_u=jnp.asarray(self.pt["u"]), pt_v=jnp.asarray(self.pt["v"]),
-            pt_idepth=jnp.asarray(self.pt["idepth"]),
-            pt_host=jnp.asarray(self.pt["host"]),
-            pt_color=jnp.asarray(self.pt["color"]),
-            pt_weights=jnp.asarray(self.pt["weights"]),
-            pt_is_sensor=jnp.asarray(self.pt["is_sensor"]),
-            pt_prior=jnp.asarray(self.pt["prior"]),
-            pt_valid=jnp.asarray(self.pt_valid),
-            res_active=jnp.asarray(self.res_active & self.pt_valid[:, None]),
-            res_state=jnp.asarray(self.res_state),
-            matcher_px=jnp.asarray(self.matcher_px),
-            matcher_valid=jnp.asarray(self.matcher_valid),
-            dI0_stack=self.dI0_stack, w=self.w, h=self.h,
-        )
-
-    def _optimize_window(self, newest_slot):
-        if len(self.order) < 2:
-            return
-        iters = self.s.max_opt_iterations
-        if len(self.order) < 3:
-            iters = 100
-        elif len(self.order) < 4:
-            iters = 75
-        # single device program for the whole LM (ba_optimize_jit)
-        out = backend.ba_optimize_jit(
-            jnp.asarray(self.T_cw_fej, jnp.float32),
-            jnp.asarray(self.eps, jnp.float32),
-            jnp.asarray(self.K0), jnp.asarray(self.K0),
-            jnp.asarray(self.slot_used),
-            jnp.asarray(self.frame_prior),
-            jnp.full(4, self.s.initial_calib_hessian / 2500.0, jnp.float32),
-            jnp.asarray(self.aff), jnp.asarray(self.exposure),
-            jnp.asarray(self.HM, jnp.float32),
-            jnp.asarray(self.bM, jnp.float32),
-            jnp.int32(newest_slot), jnp.asarray(self.fe_th),
-            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-            jnp.asarray(self.pt["color"]), jnp.asarray(self.pt["weights"]),
-            jnp.asarray(self.pt["is_sensor"]), jnp.asarray(self.pt["prior"]),
-            jnp.asarray(self.res_active & self.pt_valid[:, None]),
-            jnp.asarray(self.res_state),
-            jnp.asarray(self.matcher_px), jnp.asarray(self.matcher_valid),
-            self.dI0_stack, jnp.int32(iters),
-            jnp.int32(self.s.min_opt_iterations),
-            jnp.float32(self.s.th_opt_iterations),
-            jnp.bool_(self.s.force_accept_step),
-            n_frames=self.F, w=self.w, h=self.h)
-        out = jax.device_get(out)
-        energy = float(out["energy"])
-        if not np.isfinite(energy):
-            print("KF Tracking failed: LOST!")
-            self.is_lost = True
-            return
-        self.T_cw_fej = np.array(out["T_cw_fej"], np.float64)
-        self.eps = np.array(out["eps"], np.float64)
-        self.K0 = np.array(out["calib"], np.float32)
-        self.pt["idepth"] = np.array(out["idepth"], np.float32)
-        self.fe_th = np.array(out["feth"], np.float32)
-        new_state = np.array(out["new_state"])
-        self.res_state = new_state
-        self.centers = np.array(out["center"], np.float32)
-        # numGoodResiduals bookkeeping for new residuals
-        good_new = (new_state == backend.RES_IN) & self.res_is_new
-        self.pt["num_good_res"] += good_new.sum(axis=1)
-        self.res_is_new[:] = False
-        self.pt["idepth_hessian"] = np.array(out["Hdd"], np.float32)
-        # update shells of window frames (optimize():494-500)
-        T_wc = np.linalg.inv(self.T_cw)
-        for slot in self.order:
-            self.shells[self.frame_shell_idx[slot]]["T_wc"] = T_wc[slot]
-            self.shells[self.frame_shell_idx[slot]]["aff"] = self.aff[slot]
-
-    def _remove_outliers(self):
-        """Drop residuals not IN after the final linearization; drop points
-        with no remaining residuals (removeOutliers + linearizeAll(true))."""
-        drop = self.res_active & (self.res_state != backend.RES_IN)
-        self.res_active &= ~drop
-        self.matcher_valid &= ~drop
-        dead = self.pt_valid & ~self.res_active.any(axis=1)
-        for slot in self.order:
-            self.slot_stats_out[slot] += int((dead & (self.pt["host"] == slot)).sum())
-        self.pt_valid[dead] = False
-
     def _set_coarse_tracking_ref(self, newest_slot):
         """makeCoarseDepthL0: sensor points splatted into the newest KF."""
         us, vs, ids, ws = [], [], [], []
@@ -1265,91 +1168,6 @@ class FullSystem:
         self.track_ref_slot = newest_slot
         self.track_ref_aff = self.aff[newest_slot].copy()
         self.first_coarse_rmse = -1.0
-
-    def _flag_points_for_removal_and_marginalize(self, newest_slot):
-        """flagPointsForRemoval (FullSystem.cpp:730-820) +
-        ef->marginalizePointsF."""
-        s = self.s
-        n_res = self.res_active.sum(axis=1)
-        drop = np.zeros(self.N, bool)
-        marg = np.zeros(self.N, bool)
-        for slot in self.order[:-1]:
-            hm = self.pt_valid & (self.pt["host"] == slot)
-            if not hm.any():
-                continue
-            bad = hm & ((self.pt["idepth"] < 0) | (n_res == 0))
-            drop |= bad
-            rest = hm & ~bad
-            # isOOB approximation: host flagged, or last two target states bad
-            newest_bad = ~(self.res_active[:, newest_slot]
-                           & (self.res_state[:, newest_slot] == backend.RES_IN))
-            oob = rest & (self.slot_flagged[slot] | (
-                (n_res >= s.min_good_active_res_for_marg)
-                & (self.pt["num_good_res"] > s.min_good_res_for_marg + 10)
-                & newest_bad))
-            inlier = ((n_res >= s.min_good_active_res_for_marg)
-                      & (self.pt["num_good_res"] >= s.min_good_res_for_marg))
-            marg |= oob & inlier & (self.pt["idepth_hessian"]
-                                    > s.min_idepth_h_marg)
-            drop |= oob & ~(inlier & (self.pt["idepth_hessian"]
-                                      > s.min_idepth_h_marg))
-
-        if marg.any():
-            # priorF *= idepth_fix_prior_marg_fac (marginalizePointsF:529)
-            prior_marg = np.where(self.pt["prior"] > 0,
-                                  self.pt["prior"] * s.idepth_fix_prior_marg_fac,
-                                  0.0)
-            dHM, dbM = jax.device_get(backend.marginalize_points_full(
-                jnp.asarray(self.T_cw_fej, jnp.float32),
-                jnp.asarray(self.eps, jnp.float32),
-                jnp.asarray(self.K0), jnp.asarray(self.slot_used),
-                jnp.asarray(self.aff), jnp.asarray(self.exposure),
-                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-                jnp.asarray(self.pt["color"]), jnp.asarray(self.pt["weights"]),
-                jnp.asarray(self.pt["is_sensor"]),
-                jnp.asarray(prior_marg, jnp.float32), jnp.asarray(marg),
-                jnp.asarray(self.res_active & self.pt_valid[:, None]),
-                jnp.asarray(self.res_state), jnp.asarray(self.matcher_px),
-                jnp.asarray(self.matcher_valid), self.dI0_stack,
-                jnp.asarray(self.fe_th), n_frames=self.F, w=self.w, h=self.h,
-                marg_weight_fac=s.marg_weight_fac))
-            self.HM += np.asarray(dHM, np.float64)
-            self.bM += np.asarray(dbM, np.float64)
-
-        dead = drop | marg
-        for slot in self.order:
-            self.slot_stats_out[slot] += int((dead & (self.pt["host"] == slot)).sum())
-        self.pt_valid[dead] = False
-        self.res_active[dead, :] = False
-
-    def _marginalize_frames(self):
-        for slot in [sl for sl in self.order if self.slot_flagged[sl]]:
-            # drop residuals targeting this frame
-            self.res_active[:, slot] = False
-            self.matcher_valid[:, slot] = False
-            # any leftover hosted points/immatures die with the frame
-            hosted = self.pt_valid & (self.pt["host"] == slot)
-            self.pt_valid[hosted] = False
-            imh = self.im_valid & (self.im["host"] == slot)
-            self.im_valid[imh] = False
-
-            HM2, bM2 = jax.device_get(backend.marginalize_frame(
-                jnp.asarray(self.HM, jnp.float32),
-                jnp.asarray(self.bM, jnp.float32),
-                jnp.asarray(self.frame_prior[slot]),
-                jnp.asarray(self.eps[slot], jnp.float32),
-                slot=slot, n_frames=self.F))
-            self.HM = np.array(HM2, np.float64)
-            self.bM = np.array(bM2, np.float64)
-
-            self.slot_used[slot] = False
-            self.slot_flagged[slot] = False
-            self.order.remove(slot)
-            self.pyr_slots[slot] = None
-            self.flat_slots[slot] = None
-            self.eps[slot] = 0.0
-            self.frame_prior[slot] = 0.0
 
     # ------------------------------------------------------------------
     # output

@@ -21,8 +21,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from sdv_loam_tpu.models import backend
+from sdv_loam_tpu.models.matcher import (reproject_and_match,
+                                         reproject_and_match_multi)
 from sdv_loam_tpu.ops import trace as trace_ops
 from sdv_loam_tpu.ops.distmap import distance_map
+from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth
+from sdv_loam_tpu.utils import se3
 
 
 @partial(jax.jit, static_argnames=("w", "h", "w1", "h1", "n_frames", "a_cap",
@@ -112,3 +117,204 @@ def activate_full(
                 cand_idx=cidx, lane_valid=lane_valid,
                 success=out["success"] & lane_valid, idepth=out["idepth"],
                 inlier_targets=out["inlier_targets"])
+
+
+@partial(jax.jit, static_argnames=("n_frames", "w", "h", "max_level",
+                                   "levels", "track_ref_cap"))
+def kf_opt_step(
+        # window state
+        T_cw_fej, eps, calib, calib_zero, frame_valid, frame_prior, c_prior,
+        aff, exposure, HM, bM, newest, frame_energy_th, slot_flagged,
+        # point pool (N,)
+        pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights, pt_is_sensor,
+        pt_prior, pt_valid, pt_type, pt_quality, pt_idepth_hessian,
+        num_good_res, res_active, res_state, res_is_new,
+        matcher_px, matcher_valid, dI0_stack,
+        # matcher inputs
+        just_activated, cached_valid, cached_matched, cached_px,
+        flat_newest, offs, widths, heights, flat_slots_stack,
+        ref_idx_newest, ref_idx_multi, multi_target_mask,
+        # newest-frame pyramid (tuple of levels) for the tracking reference
+        dI_newest_pyr,
+        # LM params
+        max_iters, min_opt_iterations, th_opt_iterations, force_accept,
+        # marg params
+        prior_marg, marg_weight_fac, min_good_active_res_for_marg,
+        min_good_res_for_marg, min_idepth_h_marg,
+        n_frames: int, w: int, h: int, max_level: int, levels: int,
+        track_ref_cap: int = 16384):
+    """The whole post-activation keyframe tail as ONE device program:
+
+      matcher refresh (backprojectMap passes, FullSystem.cpp:1105-1131)
+      -> windowed LM (FullSystem::optimize)
+      -> removeOutliers (FullSystemOptimize.cpp:524-546)
+      -> tracking-reference depth splat (makeCoarseDepthL0)
+      -> flagPointsForRemoval + marginalizePointsF (FullSystem.cpp:730-820)
+      -> frame marginalization of flagged slots (marginalizeFrame).
+
+    Round 1 ran these as 5 separate dispatch+readback pairs per keyframe;
+    over the tunneled TPU each readback costs ~30-100 ms, so this fusion is
+    the main single-sequence throughput lever (VERDICT r1 item 2).
+
+    Returns one pytree; the host pulls the small control fields and leaves
+    the big arrays (track-ref pools, matcher grids) device-resident.
+    """
+    F = n_frames
+    N = pt_u.shape[0]
+    fvalid_f = frame_valid.astype(T_cw_fej.dtype)
+
+    # ---- current-state pose stacks for the matcher ----
+    T_cw = jnp.einsum("fij,fjk->fik", se3.se3_exp(eps), T_cw_fej)
+    T_wc = se3.inverse(T_cw)
+    T_wc_newest = T_wc[newest]
+    aff_newest = aff[newest]
+    exp_newest = exposure[newest]
+
+    # ---- matcher pass 1: old points -> newest frame ----
+    # cached tracking-time matches cover points that existed pre-activation
+    hf = pt_valid & (pt_host != newest)
+    upd_cached = cached_valid & cached_matched & hf & (~just_activated)
+    matcher_px = jnp.where(upd_cached[:, None, None]
+                           & (jnp.arange(F)[None, :, None] == newest),
+                           cached_px[:, None, :], matcher_px)
+    matcher_valid = matcher_valid | (upd_cached[:, None]
+                                     & (jnp.arange(F)[None, :] == newest))
+    # fresh pass for just-activated points (backprojectMap runs AFTER
+    # activatePointsMT in the reference)
+    fresh_mask = just_activated & hf
+    fresh = reproject_and_match(
+        pt_u, pt_v, pt_idepth, pt_host, pt_type, fresh_mask, pt_quality,
+        T_wc, aff, exposure, dI0_stack, flat_newest, offs, widths, heights,
+        T_wc_newest, aff_newest, exp_newest, calib, ref_idx_newest,
+        w=w, h=h, max_level=max_level)
+    upd_fresh = fresh["matched"] & fresh_mask
+    matcher_px = jnp.where(upd_fresh[:, None, None]
+                           & (jnp.arange(F)[None, :, None] == newest),
+                           fresh["px"][:, None, :], matcher_px)
+    matcher_valid = matcher_valid | (upd_fresh[:, None]
+                                     & (jnp.arange(F)[None, :] == newest))
+
+    # ---- matcher pass 2: newest-host points -> each older frame ----
+    nf = pt_valid & (pt_host == newest)
+    multi = reproject_and_match_multi(
+        pt_u, pt_v, pt_idepth, pt_host, pt_type, nf, pt_quality,
+        T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
+        heights, T_wc, aff, exposure, calib, ref_idx_multi,
+        w=w, h=h, max_level=max_level)
+    mm = multi["matched"].swapaxes(0, 1) & nf[:, None] \
+        & multi_target_mask[None, :]                       # (N, F)
+    mpx = multi["px"].swapaxes(0, 1)                       # (N, F, 2)
+    matcher_px = jnp.where(mm[..., None], mpx, matcher_px)
+    matcher_valid = matcher_valid | mm
+    res_active = res_active | mm
+    res_is_new = res_is_new | mm
+
+    # ---- windowed LM ----
+    res_active_v = res_active & pt_valid[:, None]
+    out, lin_f, pairs_f = backend.ba_core(
+        T_cw_fej, eps, calib, calib_zero, frame_valid, frame_prior, c_prior,
+        aff, exposure, HM, bM, newest, frame_energy_th,
+        pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights, pt_is_sensor,
+        pt_prior, res_active_v, res_state, matcher_px, matcher_valid,
+        dI0_stack, max_iters, min_opt_iterations, th_opt_iterations,
+        force_accept, n_frames=F, w=w, h=h)
+    new_state = out["new_state"]
+    idepth_f = out["idepth"]
+    Hdd_f = out["Hdd"]
+    centers = out["center"]
+
+    # numGoodResiduals bookkeeping (applyRes / FullSystemOptimize.cpp:46)
+    good_new = (new_state == backend.RES_IN) & res_is_new
+    num_good_res = num_good_res + good_new.sum(axis=1)
+
+    # ---- removeOutliers: drop non-IN residuals, then point-less points ----
+    keep_res = res_active_v & (new_state == backend.RES_IN)
+    matcher_valid = matcher_valid & ~(res_active_v
+                                      & (new_state != backend.RES_IN))
+    res_active2 = keep_res
+    pt_dead_outlier = pt_valid & ~res_active2.any(axis=1)
+    pt_valid2 = pt_valid & ~pt_dead_outlier
+
+    # ---- tracking reference (makeCoarseDepthL0) from post-BA state ----
+    hdif = 1.0 / jnp.maximum(Hdd_f, 1e-10)
+    wgt_splat = jnp.sqrt(1e-3 / (hdif + 1e-12))
+    m_new = pt_valid2 & pt_is_sensor & (pt_host == newest)
+    m_oth = pt_valid2 & pt_is_sensor & (pt_host != newest) \
+        & res_active2[jnp.arange(N), jnp.broadcast_to(newest, (N,))]
+    c_new = centers[jnp.arange(N), jnp.broadcast_to(newest, (N,))]  # (N, 3)
+    su = jnp.where(m_new, pt_u.astype(jnp.int32),
+                   (c_new[:, 0] + 0.5).astype(jnp.int32))
+    sv = jnp.where(m_new, pt_v.astype(jnp.int32),
+                   (c_new[:, 1] + 0.5).astype(jnp.int32))
+    sid = jnp.where(m_new, idepth_f, c_new[:, 2])
+    sok = (m_new | m_oth) & (su >= 0) & (su < w) & (sv >= 0) & (sv < h) \
+        & (sid > 0)
+    id0, w0 = splat_idepth(su, sv, sid, wgt_splat, sok, w, h)
+    track_ref = build_track_ref(dI_newest_pyr, id0, w0, levels,
+                                cap=track_ref_cap)
+
+    # ---- flagPointsForRemoval (vectorized over old-host points) ----
+    n_res = res_active2.sum(axis=1)
+    host_old = pt_valid2 & (pt_host != newest) & frame_valid[
+        jnp.clip(pt_host, 0, F - 1)]
+    bad = host_old & ((idepth_f < 0) | (n_res == 0))
+    rest = host_old & ~bad
+    newest_ok = res_active2[jnp.arange(N), jnp.broadcast_to(newest, (N,))]
+    oob = rest & (slot_flagged[jnp.clip(pt_host, 0, F - 1)]
+                  | ((n_res >= min_good_active_res_for_marg)
+                     & (num_good_res > min_good_res_for_marg + 10)
+                     & (~newest_ok)))
+    inlier = (n_res >= min_good_active_res_for_marg) \
+        & (num_good_res >= min_good_res_for_marg)
+    strong = inlier & (Hdd_f > min_idepth_h_marg)
+    marg = oob & strong
+    drop = bad | (oob & ~strong)
+
+    # ---- marginalizePointsF on the final linearization ----
+    dHM, dbM = backend.marginalize_points(
+        lin_f, pt_host, pt_is_sensor, prior_marg, marg,
+        out["eps"] * fvalid_f[:, None], jnp.zeros(4, calib.dtype), pairs_f,
+        n_frames=F, marg_weight_fac=marg_weight_fac)
+    HM2 = HM + dHM
+    bM2 = bM + dbM
+
+    pt_dead_marg = drop | marg
+    pt_valid3 = pt_valid2 & ~pt_dead_marg
+    res_active3 = res_active2 & pt_valid3[:, None]
+
+    # ---- frame marginalization of flagged slots ----
+    # drop residuals/points attached to flagged slots first
+    res_active3 = res_active3 & ~slot_flagged[None, :]
+    matcher_valid = matcher_valid & ~slot_flagged[None, :]
+    pt_dead_frame = pt_valid3 & slot_flagged[jnp.clip(pt_host, 0, F - 1)]
+    pt_valid4 = pt_valid3 & ~pt_dead_frame
+
+    def marg_one(slot, carry):
+        HMc, bMc = carry
+        HMn, bMn = backend.marginalize_frame(
+            HMc, bMc, frame_prior[slot], out["eps"][slot], slot, n_frames=F)
+        return jax.lax.cond(slot_flagged[slot], lambda: (HMn, bMn),
+                            lambda: (HMc, bMc))
+
+    HM3, bM3 = jax.lax.fori_loop(0, F, marg_one, (HM2, bM2))
+
+    # per-slot removal stats (slot_stats_out bookkeeping)
+    host_oh = jax.nn.one_hot(jnp.clip(pt_host, 0, F - 1), F,
+                             dtype=jnp.int32)
+    stats_out = ((pt_dead_outlier | pt_dead_marg)[:, None]
+                 * host_oh).sum(axis=0)
+
+    return dict(
+        # window state (small)
+        eps=out["eps"], calib=out["calib"], T_cw_fej=out["T_cw_fej"],
+        feth=out["feth"], energy=out["energy"], rmse=out["rmse"],
+        HM=HM3, bM=bM3, stats_out=stats_out,
+        # pool state
+        idepth=idepth_f, new_state=new_state, pt_valid=pt_valid4,
+        center=centers,
+        num_good_res=num_good_res, idepth_hessian=Hdd_f,
+        res_active=res_active3, matcher_px=matcher_px,
+        matcher_valid=matcher_valid,
+        # device-resident consumers
+        track_ref=track_ref,
+    )
