@@ -283,26 +283,25 @@ def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, px_u_map,
                 finite=finite & valid, gcen=gcen, score=score, z=z)
 
 
-def make_maps_compact(dI0, abs_grads, cand_mask, depth_map, px_u_map,
-                      px_v_map, density, key,
-                      pot_state: dict, settings: Settings, cap: int,
-                      th_factor: float = 1.0, sub_seed: int = 0):
-    """Density-feedback wrapper around select_compact (makeMaps /
-    makeMapsFromLidar, PixelSelector2.cpp:108-207): one device round-trip
-    per attempt (usually one), keepPercentage subsampling done host-side on
-    the compacted rows.
-
-    Returns (out dict from select_compact, keep (cap,) bool np mask).
+def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
+                            px_v_map, density, key,
+                            pot_state: dict, settings: Settings, cap: int,
+                            th_factor: float = 1.0, sub_seed: int = 0):
+    """Generator form of the density-feedback selection (makeMaps /
+    makeMapsFromLidar, PixelSelector2.cpp:108-207): yields the device dict
+    of each select_compact attempt; the caller sends back the pulled host
+    values (so a lockstep driver can batch pulls across sequences).
+    Returns (out dict, keep (cap,) bool np mask) via StopIteration.value.
     """
     pot = max(1, int(pot_state.get("pot", 3)))
 
     for recursion in range(2):
-        out = jax.device_get(select_compact(
+        out = yield select_compact(
             dI0, abs_grads[0], abs_grads[1], abs_grads[2], cand_mask,
             depth_map, px_u_map, px_v_map, key, pot, cap, th_factor,
             settings.min_grad_hist_cut, settings.min_grad_hist_add,
             settings.grad_downweight_per_level,
-            settings.select_direction_distribution))
+            settings.select_direction_distribution)
         num_have = float(out["counts"].sum())
         quotia = density / max(num_have, 1.0)
         K = num_have * (pot + 1) * (pot + 1)
@@ -321,6 +320,19 @@ def make_maps_compact(dI0, abs_grads, cand_mask, depth_map, px_u_map,
         rng = np.random.default_rng(sub_seed)
         keep &= rng.random(keep.shape) < quotia
     return out, keep
+
+
+def make_maps_compact(*args, **kw):
+    """Single-sequence driver of make_maps_compact_steps (one device_get per
+    attempt)."""
+    gen = make_maps_compact_steps(*args, **kw)
+    pulled = None
+    while True:
+        try:
+            req = gen.send(pulled)
+        except StopIteration as stop:
+            return stop.value
+        pulled = jax.device_get(req)
 
 
 def make_maps(dI0, abs_grads, cand_mask, density, key, pot_state: dict,

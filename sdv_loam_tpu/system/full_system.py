@@ -31,7 +31,7 @@ from sdv_loam_tpu.ops import trace as trace_ops
 from sdv_loam_tpu.ops.align import flatten_pyramid
 from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth
 from sdv_loam_tpu.ops.pyramid import make_images
-from sdv_loam_tpu.ops.select import make_maps_compact
+from sdv_loam_tpu.ops.select import make_maps_compact_steps
 
 from sdv_loam_tpu.utils import se3
 from sdv_loam_tpu.utils.camera import PyramidCalib
@@ -259,6 +259,25 @@ class FullSystem:
 
     def add_active_frame(self, image: np.ndarray, cloud: np.ndarray,
                          timestamp: float):
+        """Process one frame, resolving every device readback immediately
+        (the single-sequence driver of frame_steps)."""
+        gen = self.frame_steps(image, cloud, timestamp)
+        pulled = None
+        while True:
+            try:
+                req = gen.send(pulled)
+            except StopIteration:
+                return
+            pulled = jax.device_get(req)
+
+    def frame_steps(self, image: np.ndarray, cloud: np.ndarray,
+                    timestamp: float):
+        """Generator form of addActiveFrame: yields a pytree of device
+        values at every host-sync point and expects the pulled host values
+        back via send(). A lockstep driver (system.multi.MultiSystem) runs
+        B sequences' generators in phase and batches all their pulls into
+        one device_get per stage — the framework's data-parallel scaling
+        axis."""
         if self.is_lost:
             # keep recording shells with the last pose so the trajectory
             # stays dense (reference stops processing, FullSystem.cpp:824)
@@ -289,10 +308,10 @@ class FullSystem:
             return
 
         if len(self.shells) == 2:
-            self._initialize_from_initializer()
+            yield from self._initialize_steps()
 
         with self.telemetry.stage("track"):
-            ok = self._track_new_coarse(frame)
+            ok = yield from self._track_steps(frame)
         if not ok:
             print("Initial tracking failed: LOST!")
             self.is_lost = True
@@ -305,7 +324,7 @@ class FullSystem:
         is_kf = need_kf or len(self.kf_shells) < 2
         if is_kf:
             with self.telemetry.stage("keyframe"):
-                self._make_key_frame(frame)
+                yield from self._make_key_frame_steps(frame)
         else:
             with self.telemetry.stage("trace"):
                 self._make_non_key_frame(frame)
@@ -315,16 +334,16 @@ class FullSystem:
     # initialization
     # ------------------------------------------------------------------
 
-    def _initialize_from_initializer(self):
+    def _initialize_steps(self):
         """Insert the first frame as KF0 with LiDAR-depth active points
         (CoarseInitializer::setFirstFromLidar + initializeFromInitializer)."""
         fr = self._first_frame
         scan = fr["scan"]
 
-        lidar_area = float(jax.device_get(scan["bbox_area"]))
+        lidar_area = float((yield scan["bbox_area"]))
         density = 0.03 * lidar_area  # densities[0] (CoarseInitializer.cpp:780)
         cand = scan["depth_map"] > 0
-        out, keep = make_maps_compact(
+        out, keep = yield from make_maps_compact_steps(
             fr["dI"][0], fr["abs_grad"], cand, scan["depth_map"],
             scan["px_u_map"], scan["px_v_map"], density,
             self._next_key(), {"pot": 3}, self.s, cap=self.s.n_select_cap,
@@ -419,9 +438,10 @@ class FullSystem:
     # 53 init tries (two compiled ladder variants, each cached)
     N_TRIES_CAP = 64
 
-    def _track_new_coarse(self, frame) -> bool:
+    def _track_steps(self, frame):
         """Fused frame tracking: hypothesis ladder + pyramid LM + matcher +
         struct pose in ONE device program (ops.frame_step.track_frame_step).
+        Generator: yields each attempt's device outputs; returns ok.
         """
         from sdv_loam_tpu.ops.frame_step import track_frame_step
         tries = self._motion_hypotheses()
@@ -466,7 +486,7 @@ class FullSystem:
             # of three by level-0 residual measurably improves ATE (the
             # single-candidate fast path loses ~5x accuracy)
             n_refine = 3
-            out = jax.device_get(track_frame_step(
+            out = yield track_frame_step(
                 self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
                 jnp.asarray(T_batch), jnp.asarray(exclude),
                 jnp.asarray(aff_last, jnp.float32),
@@ -480,7 +500,7 @@ class FullSystem:
                 ridx_d, jnp.asarray(self.K0),
                 self.s.coarse_cutoff_th, self.s.huber_th,
                 coarsest_lvl=coarsest, w=self.w, h=self.h,
-                max_level=self.levels - 1, n_refine=n_refine))
+                max_level=self.levels - 1, n_refine=n_refine)
             r0 = float(np.asarray(out["res"])[0])
             o = bool(out["ok"]) and np.isfinite(r0) and \
                 np.isfinite(np.asarray(out["T_wc"])).all()
@@ -660,18 +680,18 @@ class FullSystem:
             else 12.0 * 12.0 * 8.0
         return slot
 
-    def _make_key_frame(self, frame):
+    def _make_key_frame_steps(self, frame):
         # dispatch the trace (device-chained), then pull the trace state and
         # the scan's selection scalars in ONE host round-trip
         self._trace_new_coarse(frame, sync=False)
-        scal = jax.device_get(
-            dict(bbox=frame["scan"]["bbox_area"],
-                 add_feat=frame["scan"]["add_feature_point"],
-                 trace={k: self._im_dev[k] for k in
-                        ("idepth_min", "idepth_max", "status", "quality",
-                         "pixel_interval")}
-                 if self._im_dev is not None and "pixel_interval"
-                 in self._im_dev else None))
+        scal = yield dict(
+            bbox=frame["scan"]["bbox_area"],
+            add_feat=frame["scan"]["add_feature_point"],
+            trace={k: self._im_dev[k] for k in
+                   ("idepth_min", "idepth_max", "status", "quality",
+                    "pixel_interval")}
+            if self._im_dev is not None and "pixel_interval"
+            in self._im_dev else None)
         self._apply_immature_sync(scal["trace"])
         frame["bbox_area"] = float(scal["bbox"])
         frame["add_feat"] = bool(scal["add_feat"])
@@ -691,7 +711,7 @@ class FullSystem:
         self.kf_shells.append(frame["shell"]["id"])
 
         with self.telemetry.stage("kf.select"):
-            self._make_new_traces(frame, slot)
+            yield from self._make_new_traces_steps(frame, slot)
 
         # residuals: every existing active point x new frame
         pts_m = self.pt_valid & (self.pt["host"] != slot)
@@ -701,9 +721,9 @@ class FullSystem:
         self.matcher_valid[pts_m, slot] = False
 
         with self.telemetry.stage("kf.activate"):
-            self._activate_points(frame, slot)
+            yield from self._activate_steps(frame, slot)
         with self.telemetry.stage("kf.opt"):
-            self._kf_opt(frame, slot)
+            yield from self._kf_opt_steps(frame, slot)
         if self.is_lost:
             return
 
@@ -726,7 +746,7 @@ class FullSystem:
                     [self.frame_kf_id[sl] for sl in self.order],
                     T_wc[self.order], pw, self.pt["host"][m])
 
-    def _kf_opt(self, frame, slot):
+    def _kf_opt_steps(self, frame, slot):
         """Matcher refresh + windowed BA + outlier removal + tracking-ref
         splat + point/frame marginalization: ONE device program
         (kf_ops.kf_opt_step) and ONE readback of the small control state.
@@ -815,11 +835,11 @@ class FullSystem:
             n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
             levels=self.levels)
 
-        small = jax.device_get({k: out[k] for k in (
+        small = yield {k: out[k] for k in (
             "eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
             "stats_out", "idepth", "new_state", "pt_valid", "num_good_res",
             "idepth_hessian", "res_active", "matcher_px", "matcher_valid",
-            "center")})
+            "center")}
 
         if not np.isfinite(small["energy"]):
             print("KF Tracking failed: LOST!")
@@ -912,7 +932,7 @@ class FullSystem:
             if best_slot is not None:
                 self.slot_flagged[best_slot] = True
 
-    def _make_new_traces(self, frame, slot):
+    def _make_new_traces_steps(self, frame, slot):
         """Point selection + immature point creation (makeNewTraces).
 
         The whole device side (cascade + colors + scores + depth gather) is
@@ -924,7 +944,7 @@ class FullSystem:
         density = (lidar_area / img_area) * self.s.desired_immature_density
 
         cand = scan["depth_map"] > 0
-        out, keep = make_maps_compact(
+        out, keep = yield from make_maps_compact_steps(
             frame["dI"][0], frame["abs_grad"], cand, scan["depth_map"],
             scan["px_u_map"], scan["px_v_map"],
             density, self._next_key(), self.pot_state, self.s,
@@ -938,7 +958,7 @@ class FullSystem:
         # optional monocular points when the scene is ground-dominated
         mono = None
         if frame["add_feat"]:
-            mout, mkeep = make_maps_compact(
+            mout, mkeep = yield from make_maps_compact_steps(
                 frame["dI"][0], frame["abs_grad"],
                 jnp.ones((self.h, self.w), bool), scan["depth_map"],
                 scan["px_u_map"], scan["px_v_map"],
@@ -1008,7 +1028,7 @@ class FullSystem:
                                     EDGELET, CORNER)
         im["my_type"][rows] = 1.0
 
-    def _activate_points(self, frame, newest_slot):
+    def _activate_steps(self, frame, newest_slot):
         """activatePointsMT (FullSystem.cpp:569-723)."""
         s = self.s
         n_pts = int(self.pt_valid.sum())
@@ -1055,7 +1075,7 @@ class FullSystem:
         R_pair, t_pair, aff_pair = self._pair_transforms()
 
         im = self.im
-        out = jax.device_get(activate_full(
+        out = yield activate_full(
             jnp.asarray(im["u"]), jnp.asarray(im["v"]),
             jnp.asarray(im["idepth_min"]), jnp.asarray(im["idepth_max"]),
             jnp.asarray(im["status"]), jnp.asarray(im["quality"]),
@@ -1075,7 +1095,7 @@ class FullSystem:
             jnp.float32(s.min_trace_quality),
             jnp.float32(s.min_idepth_h_act),
             w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
-            a_cap=self.M, gn_iters=s.gn_its_on_point_activation))
+            a_cap=self.M, gn_iters=s.gn_its_on_point_activation)
 
         dead = out["dead"]
         kill = out["kill"]
