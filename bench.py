@@ -1,13 +1,24 @@
 """Benchmark: full-odometry frames/sec per chip at KITTI resolution.
 
 Runs the complete pipeline (LiDAR preprocess, pyramid, tracking ladder,
-struct pose, keyframe BA, marginalization) on a procedurally generated
-KITTI-like sequence (1200x360, ~1 m/frame @10 Hz, Velodyne-64 scan pattern)
+struct pose, keyframe BA, marginalization) on procedurally generated
+KITTI-like sequences (1200x360, ~1 m/frame @10 Hz, Velodyne-64 scan pattern)
 — no dataset is available in this environment, and the synthetic scene gives
 exact ground truth for a simultaneous accuracy check.
 
+Two phases:
+  1. single-sequence run (also serves as compile warmup);
+  2. B-sequence lockstep run (system.multi.MultiSystem) — the chip's
+     throughput axis: B independent odometries share every host sync, so
+     aggregate frames/s is the per-chip capacity figure (reference analog:
+     one process per sequence on one CPU, SURVEY.md §2.6).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline relative to the 100 fps/chip target (BASELINE.md).
+vs_baseline relative to the 100 fps/chip target (BASELINE.md); the
+single-sequence rate and accuracy live in "extra".
+
+Env knobs: SDV_BENCH_B (default 8), SDV_BENCH_FRAMES (default 40),
+SDV_BENCH_SINGLE=1 to skip the multi phase.
 """
 
 import json
@@ -36,48 +47,93 @@ def main():
     _setup_cache()
     from sdv_loam_tpu.config import Settings
     from sdv_loam_tpu.data.synthetic import make_sequence
-    from sdv_loam_tpu.eval.ate import ate_rmse
+    from sdv_loam_tpu.eval.ate import ate_rmse, drift_decomposition
     from sdv_loam_tpu.system.full_system import FullSystem
+    from sdv_loam_tpu.system.multi import MultiSystem
 
-    n_frames = 40
+    B = int(os.environ.get("SDV_BENCH_B", "8"))
+    n_frames = int(os.environ.get("SDV_BENCH_FRAMES", "40"))
     warmup_frames = 12
     t_gen = time.perf_counter()
-    seq = make_sequence(n_frames=n_frames, w=1200, h=360, fx=718.856,
-                        step=1.0, yaw_rate=0.004, lidar_stride=2,
-                        half_width=16.0)
-    frames = [seq.get(i) for i in range(n_frames)]  # pre-render (host-side)
-    print(f"[bench] generated {n_frames} frames in "
+    # two distinct scenes/trajectories; B systems alternate between them
+    # (rendering is host-side raycasting — the expensive part of setup)
+    seq_specs = [dict(yaw_rate=0.004, seed=7), dict(yaw_rate=-0.009, seed=13)]
+    seqs, frame_sets = [], []
+    for spec in seq_specs:
+        seq = make_sequence(n_frames=n_frames, w=1200, h=360, fx=718.856,
+                            step=1.0, lidar_stride=2, half_width=16.0, **spec)
+        seqs.append(seq)
+        frame_sets.append([seq.get(i) for i in range(n_frames)])
+    print(f"[bench] generated {len(seqs)}x{n_frames} frames in "
           f"{time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
 
+    # ---------------- phase 1: single sequence (and compile warmup) --------
     s = Settings()
-    fs = FullSystem(seq.calib, seq.sensor, s)
-
-    # warmup: triggers all jit compilations (init, tracking, KF pipeline)
+    fs = FullSystem(seqs[0].calib, seqs[0].sensor, s)
     for i in range(warmup_frames):
         t1 = time.perf_counter()
-        img, cloud, ts = frames[i]
+        img, cloud, ts = frame_sets[0][i]
         fs.add_active_frame(img, cloud, ts)
         print(f"[bench] warmup frame {i}: {time.perf_counter() - t1:.1f}s",
               file=sys.stderr)
-
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):
-        img, cloud, ts = frames[i]
+        img, cloud, ts = frame_sets[0][i]
         fs.add_active_frame(img, cloud, ts)
-    dt = time.perf_counter() - t0
+    dt_single = time.perf_counter() - t0
     n_timed = n_frames - warmup_frames
-    fps = n_timed / dt
-
+    fps_single = n_timed / dt_single
     est = fs.get_trajectory()
-    ate = ate_rmse(est, seq.poses_wc[:len(est)])
+    ate = ate_rmse(est, seqs[0].poses_wc[:len(est)])
+    drift = drift_decomposition(est, seqs[0].poses_wc[:len(est)])
+    n_kf, lost = len(fs.kf_shells), bool(fs.is_lost)
+    print(f"[bench] single-seq: {fps_single:.2f} f/s, ATE {ate:.4f} m",
+          file=sys.stderr)
+    print(f"[bench] drift: {drift}", file=sys.stderr)
+    # per-stage host-vs-sync split: where the frame time goes (VERDICT item 7)
+    print("[bench] stage table (single-seq):\n" + fs.telemetry.stage_table(),
+          file=sys.stderr)
+    del fs  # free device buffers before the fleet run
+
+    extra = {"ate_m": round(float(ate), 4), "n_frames": n_timed,
+             "n_keyframes": n_kf, "lost": lost,
+             "fps_single_seq": round(fps_single, 3)}
+
+    if os.environ.get("SDV_BENCH_SINGLE"):
+        fps = fps_single
+        metric = "synthetic_kitti_frames_per_sec_per_chip"
+    else:
+        # ------------- phase 2: B-sequence lockstep aggregate --------------
+        ms = MultiSystem([FullSystem(seqs[b % len(seqs)].calib,
+                                     seqs[b % len(seqs)].sensor, Settings())
+                          for b in range(B)])
+        for i in range(warmup_frames):  # fleet warmup (syncs, no compiles)
+            t1 = time.perf_counter()
+            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
+            print(f"[bench] fleet warmup frame {i}: "
+                  f"{time.perf_counter() - t1:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        for i in range(warmup_frames, n_frames):
+            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
+        dt_multi = time.perf_counter() - t0
+        fps = B * n_timed / dt_multi
+        metric = "synthetic_kitti_aggregate_frames_per_sec_per_chip"
+        ates = [float(ate_rmse(f.get_trajectory(),
+                               seqs[b % len(seqs)].poses_wc))
+                for b, f in enumerate(ms.systems)]
+        extra.update({
+            "B": B, "ate_m_fleet_max": round(max(ates), 4),
+            "lost_fleet": sum(f.is_lost for f in ms.systems),
+            "fps_per_seq_in_fleet": round(fps / B, 3),
+            "scaling_efficiency": round(fps / (B * fps_single), 3),
+        })
 
     print(json.dumps({
-        "metric": "synthetic_kitti_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 100.0, 4),
-        "extra": {"ate_m": round(float(ate), 4), "n_frames": n_timed,
-                  "n_keyframes": len(fs.kf_shells), "lost": bool(fs.is_lost)},
+        "extra": extra,
     }))
 
 

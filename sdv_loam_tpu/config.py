@@ -151,6 +151,10 @@ class Settings:
     # --- misc (settings.cpp:160-185) ---
     multi_threading: bool = False
     debugout_runquiet: bool = True
+    log_stuff: bool = False        # deep-log streams: per-KF BA Hessian
+                                   # eigen-spectrum, diagonal, nullspace
+                                   # products (FullSystem.cpp:119-176,
+                                   # 1419-1499) into the telemetry JSONL
 
     # ------------------------------------------------------------------
     # TPU-build additions (fixed pool capacities / precision — new design,

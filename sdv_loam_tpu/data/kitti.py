@@ -83,7 +83,10 @@ class KittiSequence:
         return self.undistorter.undistort(img)
 
     def get_cloud(self, i: int) -> np.ndarray:
-        return read_velodyne_bin(self.velodyne_files[i])
+        # native C++ parse (native/staging.cpp sdv_read_velodyne) with the
+        # NumPy fallback inside; same filtering semantics either way
+        from sdv_loam_tpu.data import native
+        return native.read_velodyne(self.velodyne_files[i])
 
     def get(self, i: int):
         return self.get_image(i), self.get_cloud(i), float(self.timestamps[i])

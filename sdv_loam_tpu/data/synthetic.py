@@ -130,16 +130,20 @@ def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0, px_scale=0.0):
     return best_t, best_i
 
 
-def make_trajectory(n_frames: int, step: float = 1.0, yaw_rate: float = 0.004,
+def make_trajectory(n_frames: int, step: float = 1.0, yaw_rate=0.004,
                     noise: float = 0.0, seed: int = 7) -> np.ndarray:
-    """(n, 4, 4) T_world<-cam ground-truth poses: forward drive with slow yaw."""
+    """(n, 4, 4) T_world<-cam ground-truth poses: forward drive with yaw.
+
+    `yaw_rate` may be a scalar (constant turn) or an (n,) per-frame profile
+    (S-curves, straights+turns — the long-run accuracy scenarios)."""
     rng = np.random.default_rng(seed)
+    yaw_prof = np.broadcast_to(np.asarray(yaw_rate, np.float64), (n_frames,))
     poses = np.zeros((n_frames, 4, 4))
     T = np.eye(4)
     yaw = 0.0
     for i in range(n_frames):
         poses[i] = T
-        yaw_i = yaw_rate + (rng.standard_normal() * noise * 0.001)
+        yaw_i = yaw_prof[i] + (rng.standard_normal() * noise * 0.001)
         yaw += yaw_i
         c, s = np.cos(yaw_i), np.sin(yaw_i)
         # rotation about camera y (down) axis = yaw in driving plane
@@ -216,9 +220,20 @@ class SyntheticSequence:
         return self.get_image(i), self.get_cloud(i), float(self.timestamps[i])
 
 
+def s_curve_profile(n_frames: int, peak: float = 0.006,
+                    n_lobes: int = 3) -> np.ndarray:
+    """(n,) per-frame yaw-rate profile alternating smooth left/right turns
+    with short straights — the long-run drift scenario (curvature changes
+    sign, so yaw-bias drift cannot cancel by symmetry)."""
+    t = np.linspace(0, n_lobes * np.pi, n_frames)
+    prof = peak * np.sin(t)
+    prof[np.abs(prof) < 0.15 * peak] = 0.0   # straights between lobes
+    return prof
+
+
 def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
                   fx: float | None = None, step: float = 1.0,
-                  yaw_rate: float = 0.004, seed: int = 7,
+                  yaw_rate=0.004, seed: int = 7,
                   lidar_stride: int = 4,
                   half_width: float = 9.0) -> SyntheticSequence:
     """Build a synthetic sequence. Default small size for tests; use

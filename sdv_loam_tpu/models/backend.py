@@ -910,10 +910,16 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
                          n_frames=F)
     rmse = jnp.sqrt(jnp.sum(lin_f["energy"])
                     / jnp.maximum(jnp.sum(lin_f["new_state"] == RES_IN), 1))
+    # final assembled system + nullspaces, exported for the deep-log streams
+    # (eigen-spectrum / diagonal / nullspace products, FullSystem.cpp:1419-99)
+    # — computed lazily by XLA only if the caller actually pulls them.
+    H_final = sys_f["H_top"] - sys_f["H_sc"] + HM
+    b_final = sys_f["b_top"] - sys_f["b_sc"] + bM
     out = dict(eps=eps_out, calib=calib_f, idepth=idepth_f, feth=feth_f,
                T_cw_fej=T_cw_fej_out, new_state=lin_f["new_state"],
                center=lin_f["center"], Hdd=sys_f["Hdd"], energy=E_f,
-               rmse=rmse)
+               rmse=rmse, H_final=H_final, b_final=b_final,
+               nullspaces=make_nullspaces(T_cw_fej_out, fvalid_f))
     return out, lin_f, pairs_f
 
 

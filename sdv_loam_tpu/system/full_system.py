@@ -268,7 +268,8 @@ class FullSystem:
                 req = gen.send(pulled)
             except StopIteration:
                 return
-            pulled = jax.device_get(req)
+            with self.telemetry.sync():
+                pulled = jax.device_get(req)
 
     def frame_steps(self, image: np.ndarray, cloud: np.ndarray,
                     timestamp: float):
@@ -835,11 +836,17 @@ class FullSystem:
             n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
             levels=self.levels)
 
-        small = yield {k: out[k] for k in (
-            "eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
-            "stats_out", "idepth", "new_state", "pt_valid", "num_good_res",
-            "idepth_hessian", "res_active", "matcher_px", "matcher_valid",
-            "center")}
+        pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
+                     "stats_out", "idepth", "new_state", "pt_valid",
+                     "num_good_res", "idepth_hessian", "res_active",
+                     "matcher_px", "matcher_valid", "center"]
+        if s.log_stuff:
+            pull_keys += ["H_final", "b_final", "nullspaces", "rmse"]
+        small = yield {k: out[k] for k in pull_keys}
+        if s.log_stuff:
+            self.telemetry.log_hessian(len(self.kf_shells) - 1,
+                                       small["H_final"], small["b_final"],
+                                       small["nullspaces"])
 
         if not np.isfinite(small["energy"]):
             print("KF Tracking failed: LOST!")

@@ -315,6 +315,9 @@ def kf_opt_step(
         num_good_res=num_good_res, idepth_hessian=Hdd_f,
         res_active=res_active3, matcher_px=matcher_px,
         matcher_valid=matcher_valid,
+        # deep-log exports (pulled only when settings.log_stuff)
+        H_final=out["H_final"], b_final=out["b_final"],
+        nullspaces=out["nullspaces"],
         # device-resident consumers
         track_ref=track_ref,
     )

@@ -52,7 +52,9 @@ class MultiSystem:
                     pending.pop(i)
             if not reqs:
                 break
-            to_send = jax.device_get(reqs)  # ONE pull for every sequence
+            tele = self.systems[min(reqs)].telemetry
+            with tele.sync():
+                to_send = jax.device_get(reqs)  # ONE pull, every sequence
 
     @property
     def any_lost(self):

@@ -27,14 +27,22 @@ RESET_FRAME_LIMIT = 250  # main.cpp:510-528
 def run_sequence(reader, settings: Settings | None = None,
                  observers=None, result_path: str | None = None,
                  log_path: str | None = None, max_frames: int | None = None,
-                 allow_reset: bool = True):
+                 allow_reset: bool = True, prefetch: bool = True):
     """Run the full odometry over a sequence reader.
+
+    With `prefetch` (default), input staging (image decode + undistort remap,
+    native velodyne parse) runs on a background thread/the native C++
+    prefetcher so it overlaps device compute — the TPU analog of the
+    reference's ROS callback queues (main.cpp:537-858).
 
     Returns (FullSystem, summary dict)."""
     settings = settings or Settings()
     telemetry = Telemetry(log_path=log_path, quiet=settings.debugout_runquiet)
     calib = reader.calib if not hasattr(reader, "undistorter") else \
         reader.undistorter.pyramid_calib
+    if prefetch:
+        from sdv_loam_tpu.data.prefetch import PrefetchReader
+        reader = PrefetchReader(reader)
     fs = FullSystem(calib, reader.sensor, settings, observers=observers,
                     telemetry=telemetry)
 
@@ -56,6 +64,8 @@ def run_sequence(reader, settings: Settings | None = None,
                             observers=observers, telemetry=telemetry)
         i += 1
 
+    if prefetch:
+        reader.close()
     summary = telemetry.summary()
     summary["lost"] = fs.is_lost
     if not settings.debugout_runquiet:
