@@ -76,6 +76,8 @@ def main():
         fs.add_active_frame(img, cloud, ts)
         print(f"[bench] warmup frame {i}: {time.perf_counter() - t1:.1f}s",
               file=sys.stderr)
+    from sdv_loam_tpu.io.telemetry import Telemetry
+    fs.telemetry = Telemetry()  # steady-state stage stats only (no compiles)
     t0 = time.perf_counter()
     for i in range(warmup_frames, n_frames):
         img, cloud, ts = frame_sets[0][i]

@@ -107,7 +107,8 @@ def make_pairs(T_cw, T_cw_fej, aff, exposure, K):
 def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
                         res_active, res_state, matcher_px, matcher_valid,
                         pairs, dI0_stack, frame_energy_th, K,
-                        w: int, h: int, huber_th: float = 6.0):
+                        w: int, h: int, huber_th: float = 6.0,
+                        gate=None):
     """Linearize the dense (N, F) residual grid.
 
     Args:
@@ -183,48 +184,61 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
                        u * v * fy, u * fy], -1)
 
     # --- photometric outlier gate at current pose (Residuals.cpp:157-194) ---
-    KRKi = pairs["KRKi"][pair_idx]
-    Kt = pairs["Kt"][pair_idx]
-    a_rel = pairs["aff_a"][pair_idx]
-    b_rel = pairs["aff_b"][pair_idx]
-    b0 = pairs["b0"][pair_idx]
+    # The pattern gathers (N*F*8 bilinear taps x 3 channels) are the single
+    # most expensive piece of a linearization on TPU (~115 ms at KITTI
+    # shapes, XLA gather ~7 ns/element). Callers iterating an LM loop pass
+    # `gate=(energy_phot, wJI2)` from the first linearization to reuse the
+    # outlier gate across iterations — a documented deviation from the
+    # reference, which re-evaluates the gate every linearizeAll; the gate is
+    # a coarse outlier test and the pose moves sub-pixel within one LM, so
+    # the gated set is stable (PARITY.md).
+    if gate is None:
+        KRKi = pairs["KRKi"][pair_idx]
+        Kt = pairs["Kt"][pair_idx]
+        a_rel = pairs["aff_a"][pair_idx]
+        b_rel = pairs["aff_b"][pair_idx]
 
-    pat = jnp.asarray(PATTERN_P, jnp.float32)
-    up = pt_u[:, None] + pat[:, 0]                                 # (N, 8)
-    vp = pt_v[:, None] + pat[:, 1]
-    pix = jnp.stack([up, vp, jnp.ones_like(up)], -1)               # (N, 8, 3)
-    ptp2 = jnp.einsum("nfij,npj->nfpi", KRKi, pix) + \
-        (Kt * pt_idepth[:, None, None])[:, :, None, :]
-    Ku2 = ptp2[..., 0] / ptp2[..., 2]
-    Kv2 = ptp2[..., 1] / ptp2[..., 2]
-    pat_ok = (Ku2 > 1.1) & (Kv2 > 1.1) & (Ku2 < w - 3) & (Kv2 < h - 3)
-    # the reference `break`s at the first failed pattern point: emulate with
-    # a cumulative-AND along the pattern axis
-    pat_ok = jnp.cumprod(pat_ok.astype(jnp.int8), axis=-1).astype(bool)
+        pat = jnp.asarray(PATTERN_P, jnp.float32)
+        up = pt_u[:, None] + pat[:, 0]                             # (N, 8)
+        vp = pt_v[:, None] + pat[:, 1]
+        pix = jnp.stack([up, vp, jnp.ones_like(up)], -1)           # (N, 8, 3)
+        ptp2 = jnp.einsum("nfij,npj->nfpi", KRKi, pix) + \
+            (Kt * pt_idepth[:, None, None])[:, :, None, :]
+        Ku2 = ptp2[..., 0] / ptp2[..., 2]
+        Kv2 = ptp2[..., 1] / ptp2[..., 2]
+        pat_ok = (Ku2 > 1.1) & (Kv2 > 1.1) & (Ku2 < w - 3) & (Kv2 < h - 3)
+        # the reference `break`s at the first failed pattern point: emulate
+        # with a cumulative-AND along the pattern axis
+        pat_ok = jnp.cumprod(pat_ok.astype(jnp.int8), axis=-1).astype(bool)
 
-    from sdv_loam_tpu.ops.align import _flat_bilinear
-    hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
-    flat = dI0_stack.reshape(-1, 3)
-    base = (jnp.arange(F) * hw_img)[None, :, None]
-    base = jnp.broadcast_to(base, (N, F, 1)).reshape(N * F, 1)
-    wv = jnp.full((N * F, 1), dI0_stack.shape[2], jnp.int32)
-    Ku2c = jnp.clip(Ku2, 0.0, dI0_stack.shape[2] - 1.01).reshape(N * F, 8)
-    Kv2c = jnp.clip(Kv2, 0.0, dI0_stack.shape[1] - 1.01).reshape(N * F, 8)
-    _, hit = _flat_bilinear(flat, base, wv, Ku2c, Kv2c)
-    hit = hit.reshape(N, F, 8, 3)
+        from sdv_loam_tpu.ops.align import _flat_bilinear
+        hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
+        flat = dI0_stack.reshape(-1, 3)
+        base = (jnp.arange(F) * hw_img)[None, :, None]
+        base = jnp.broadcast_to(base, (N, F, 1)).reshape(N * F, 1)
+        wv = jnp.full((N * F, 1), dI0_stack.shape[2], jnp.int32)
+        Ku2c = jnp.clip(Ku2, 0.0, dI0_stack.shape[2] - 1.01).reshape(N * F, 8)
+        Kv2c = jnp.clip(Kv2, 0.0, dI0_stack.shape[1] - 1.01).reshape(N * F, 8)
+        _, hit = _flat_bilinear(flat, base, wv, Ku2c, Kv2c)
+        hit = hit.reshape(N, F, 8, 3)
 
-    resp = hit[..., 0] - (a_rel[..., None] * pt_color[:, None, :]
-                          + b_rel[..., None])
-    wgrad = jnp.sqrt(2500.0 / (2500.0 + hit[..., 1] ** 2 + hit[..., 2] ** 2))
-    wpat = 0.5 * (wgrad + pt_weights[:, None, :])
-    absr = jnp.abs(resp)
-    hwp = jnp.where(absr < huber_th, 1.0, huber_th / jnp.maximum(absr, 1e-12))
-    e_pat = jnp.where(pat_ok, wpat * wpat * hwp * resp * resp * (2.0 - hwp), 0.0)
-    energy_phot = e_pat.sum(-1)
-    hws = jnp.where(hwp < 1.0, jnp.sqrt(hwp), hwp) * wpat
-    wJI2 = jnp.where(pat_ok,
-                     (hws * hit[..., 1]) ** 2 + (hws * hit[..., 2]) ** 2,
-                     0.0).sum(-1)
+        resp = hit[..., 0] - (a_rel[..., None] * pt_color[:, None, :]
+                              + b_rel[..., None])
+        wgrad = jnp.sqrt(2500.0 / (2500.0 + hit[..., 1] ** 2
+                                   + hit[..., 2] ** 2))
+        wpat = 0.5 * (wgrad + pt_weights[:, None, :])
+        absr = jnp.abs(resp)
+        hwp = jnp.where(absr < huber_th, 1.0,
+                        huber_th / jnp.maximum(absr, 1e-12))
+        e_pat = jnp.where(pat_ok,
+                          wpat * wpat * hwp * resp * resp * (2.0 - hwp), 0.0)
+        energy_phot = e_pat.sum(-1)
+        hws = jnp.where(hwp < 1.0, jnp.sqrt(hwp), hwp) * wpat
+        wJI2 = jnp.where(pat_ok,
+                         (hws * hit[..., 1]) ** 2 + (hws * hit[..., 2]) ** 2,
+                         0.0).sum(-1)
+    else:
+        energy_phot, wJI2 = gate
 
     # --- the 2-D reprojection residual (Residuals.cpp:196-222) ---
     r2 = jnp.stack([Ku, Kv], -1) - matcher_px
@@ -255,7 +269,8 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     return dict(resF=resF, Jxi=Jxi, Jc=Jc, Jd=Jd, new_state=new_state,
                 energy=jnp.where(proj_ok & matcher_valid & res_active,
                                  energy2d, 0.0),
-                energy_phot=energy_phot, center=center, proj_ok=proj_ok)
+                energy_phot=energy_phot, wJI2=wJI2, center=center,
+                proj_ok=proj_ok)
 
 
 # ---------------------------------------------------------------------------
@@ -419,14 +434,23 @@ def orthogonalize(vec, Ns):
     """Project `vec` off span(Ns) (EnergyFunctional::orthogonalize:615-648).
 
     The reference forms the projector N N^+ via SVD with singular values
-    below solverModeDelta * max zeroed; that equals U_r U_r^T over the
-    retained singular directions."""
+    below solverModeDelta * max zeroed. The span (and hence the projector)
+    is identical under modified Gram-Schmidt with near-dependent columns
+    dropped — and MGS is 7 tiny matmul steps instead of a TPU-hostile SVD
+    (~18 ms for a 52x7 operand)."""
     norms = jnp.linalg.norm(Ns, axis=0, keepdims=True)
     Nn = Ns / jnp.maximum(norms, 1e-12)
-    U, S, _ = jnp.linalg.svd(Nn, full_matrices=False)
-    keep = (S > 1e-5 * jnp.max(S)).astype(vec.dtype)
-    P = (U * keep[None, :]) @ U.swapaxes(0, 1)
-    return vec - P @ vec
+    K = Nn.shape[1]
+
+    def body(Q, j):
+        v = Nn[:, j]
+        v = v - Q @ (Q.swapaxes(0, 1) @ v)
+        nv = jnp.linalg.norm(v)
+        q = jnp.where(nv > 1e-5, v / jnp.maximum(nv, 1e-12), 0.0)
+        return Q.at[:, j].set(q), None
+
+    Q, _ = jax.lax.scan(body, jnp.zeros_like(Nn), jnp.arange(K))
+    return vec - Q @ (Q.swapaxes(0, 1) @ vec)
 
 
 @partial(jax.jit, static_argnames=("n_frames",))
@@ -634,7 +658,10 @@ def marginalize_frame(HM, bM, frame_prior_slot, frame_delta_slot,
 def frame_energy_quantile(energy_phot, mask, q: float = 0.7):
     """setNewFrameEnergyTH (FullSystemOptimize.cpp:62-97): the q-quantile of
     per-residual photometric energies targeting the newest frame, blended
-    with a constant and squared."""
+    with a constant and squared.
+
+    Callers pass only the newest-frame COLUMN ((N,) not the (N, F) grid):
+    every other entry is masked out anyway and TPU sorts cost ~0.3 us/row."""
     e = jnp.where(mask, energy_phot, jnp.inf)
     order = jnp.sort(e.ravel())
     n = jnp.sum(mask)
@@ -684,13 +711,13 @@ def ba_optimize(win, settings, max_iters: int):
         return make_pairs(T_cw, win["T_cw_fej"], win["aff"], win["exposure"],
                           K), T_cw
 
-    def linearize(eps_, calib_, idepth_, feth):
+    def linearize(eps_, calib_, idepth_, feth, gate=None):
         pairs, T_cw = current_pairs(eps_, calib_)
         lin = linearize_residuals(
             win["pt_u"], win["pt_v"], idepth_, win["pt_host"],
             win["pt_color"], win["pt_weights"], win["res_active"],
             win["res_state"], win["matcher_px"], win["matcher_valid"],
-            pairs, win["dI0_stack"], feth, calib_, w=w, h=h)
+            pairs, win["dI0_stack"], feth, calib_, w=w, h=h, gate=gate)
         return lin, pairs, T_cw
 
     feth = win["frame_energy_th"]
@@ -707,11 +734,12 @@ def ba_optimize(win, settings, max_iters: int):
         return e_a + e_m + e_p
 
     lin, pairs, _ = linearize(eps, calib, idepth, feth)
-    newest_mask = win["res_active"] & \
-        (jnp.arange(F)[None, :] == newest) & (lin["new_state"] != RES_OOB)
-    feth = feth.at[newest].set(frame_energy_quantile(lin["energy_phot"],
-                                                     newest_mask))
-    lin, pairs, _ = linearize(eps, calib, idepth, feth)
+    gate0 = (lin["energy_phot"], lin["wJI2"])   # cached gate (see ba_core)
+    newest_mask = win["res_active"][:, newest] & \
+        (lin["new_state"][:, newest] != RES_OOB)
+    feth = feth.at[newest].set(frame_energy_quantile(
+        lin["energy_phot"][:, newest], newest_mask))
+    lin, pairs, _ = linearize(eps, calib, idepth, feth, gate0)
     E_last = float(total_energy(lin, pairs, eps, calib))
 
     lam = 1e-1
@@ -737,11 +765,12 @@ def ba_optimize(win, settings, max_iters: int):
         idepth_new = jnp.where(win["pt_is_sensor"], idepth,
                                idepth + sol["didepth"])
 
-        lin_new, pairs_new, _ = linearize(eps_new, calib_new, idepth_new, feth)
-        newest_mask = win["res_active"] & \
-            (jnp.arange(F)[None, :] == newest) & (lin_new["new_state"] != RES_OOB)
-        feth = feth.at[newest].set(
-            frame_energy_quantile(lin_new["energy_phot"], newest_mask))
+        lin_new, pairs_new, _ = linearize(eps_new, calib_new, idepth_new,
+                                          feth, gate0)
+        newest_mask = win["res_active"][:, newest] & \
+            (lin_new["new_state"][:, newest] != RES_OOB)
+        feth = feth.at[newest].set(frame_energy_quantile(
+            lin_new["energy_phot"][:, newest], newest_mask))
         E_new = float(total_energy(lin_new, pairs_new, eps_new, calib_new))
 
         # step-size convergence test (doStepFromBackup:248-250)
@@ -812,20 +841,19 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
     F = n_frames
     fvalid_f = frame_valid.astype(T_cw_fej.dtype)
 
-    def linearize(eps_, calib_, idepth_, feth_):
+    def linearize(eps_, calib_, idepth_, feth_, gate=None):
         T_cw = jnp.einsum("fij,fjk->fik", se3.se3_exp(eps_), T_cw_fej)
         pairs = make_pairs(T_cw, T_cw_fej, aff, exposure, calib_)
         lin = linearize_residuals(
             pt_u, pt_v, idepth_, pt_host, pt_color, pt_weights,
             res_active, res_state, matcher_px, matcher_valid,
-            pairs, dI0_stack, feth_, calib_, w=w, h=h)
+            pairs, dI0_stack, feth_, calib_, w=w, h=h, gate=gate)
         return lin, pairs
 
     def update_feth(lin, feth_):
-        mask = res_active & (jnp.arange(F)[None, :] == newest) & \
-            (lin["new_state"] != RES_OOB)
-        return feth_.at[newest].set(frame_energy_quantile(lin["energy_phot"],
-                                                          mask))
+        mask = res_active[:, newest] & (lin["new_state"][:, newest] != RES_OOB)
+        return feth_.at[newest].set(
+            frame_energy_quantile(lin["energy_phot"][:, newest], mask))
 
     def total_energy(lin, pairs_, eps_, calib_):
         # residuals are measured at the current state (DSO scheme), so the
@@ -841,8 +869,12 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
     nullspaces = make_nullspaces(T_cw_fej, fvalid_f)
 
     lin0, pairs0 = linearize(eps, calib, pt_idepth, frame_energy_th)
+    # cache the photometric outlier gate for the whole LM (see
+    # linearize_residuals: the gate gathers dominate TPU cost; the reference
+    # recomputes per iteration but the gated set is stable within one LM)
+    gate0 = (lin0["energy_phot"], lin0["wJI2"])
     feth0 = update_feth(lin0, frame_energy_th)
-    lin0, pairs0 = linearize(eps, calib, pt_idepth, feth0)
+    lin0, pairs0 = linearize(eps, calib, pt_idepth, feth0, gate0)
     E0 = total_energy(lin0, pairs0, eps, calib)
 
     n_valid_frames = jnp.maximum(jnp.sum(frame_valid), 1)
@@ -866,7 +898,7 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
         calib_n = calib_ + sol["dc"]
         idepth_n = jnp.where(pt_is_sensor, idepth_, idepth_ + sol["didepth"])
 
-        lin_n, pairs_n = linearize(eps_n, calib_n, idepth_n, feth_)
+        lin_n, pairs_n = linearize(eps_n, calib_n, idepth_n, feth_, gate0)
         feth_n = update_feth(lin_n, feth_)
         E_new = total_energy(lin_n, pairs_n, eps_n, calib_n)
 

@@ -67,7 +67,8 @@ def splat_idepth(u, v, idepth, weight, valid, w: int, h: int):
 
 def _sum_pool2(x):
     h, w = x.shape
-    return (x[0:h:2, 0:w:2] + x[0:h:2, 1:w:2] + x[1:h:2, 0:w:2] + x[1:h:2, 1:w:2])
+    return jax.lax.reduce_window(x[: (h // 2) * 2, : (w // 2) * 2], 0.0,
+                                 jax.lax.add, (2, 2), (2, 2), "VALID")
 
 
 def _dilate_once(idepth, weight, diagonal: bool):

@@ -22,18 +22,31 @@ import jax.numpy as jnp
 
 
 def avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
-    """Exact 2x2 average pooling, (H, W) -> (H//2, W//2)."""
+    """Exact 2x2 average pooling, (H, W) -> (H//2, W//2).
+
+    reduce_window is the TPU-fast path: the strided-slice formulation costs
+    a sublane/lane relayout per slice (~tens of ms at 1200x360); the XLA
+    window reduction is a single vectorized pass."""
     h, w = img.shape
-    return 0.25 * (img[0:h:2, 0:w:2] + img[0:h:2, 1:w:2]
-                   + img[1:h:2, 0:w:2] + img[1:h:2, 1:w:2])
+    s = jax.lax.reduce_window(img[: (h // 2) * 2, : (w // 2) * 2], 0.0,
+                              jax.lax.add, (2, 2), (2, 2), "VALID")
+    return 0.25 * s
 
 
 def gradients(img: jnp.ndarray):
-    """Central-difference gradients with zeroed borders."""
-    dx = jnp.zeros_like(img)
-    dy = jnp.zeros_like(img)
-    dx = dx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
-    dy = dy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    """Central-difference gradients with zeroed borders.
+
+    Implemented with pad+slice (full-width tensors, no strided writes):
+    `.at[:, 1:-1].set` lowers to a dynamic-update-slice that forces a copy
+    and defeats fusion on TPU."""
+    zc = jnp.zeros_like(img[:, :1])
+    dx = 0.5 * (jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+                - jnp.concatenate([img[:, :1], img[:, :-1]], axis=1))
+    dx = jnp.concatenate([zc, dx[:, 1:-1], zc], axis=1)
+    zr = jnp.zeros_like(img[:1, :])
+    dy = 0.5 * (jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+                - jnp.concatenate([img[:1, :], img[:-1, :]], axis=0))
+    dy = jnp.concatenate([zr, dy[1:-1, :], zr], axis=0)
     return dx, dy
 
 

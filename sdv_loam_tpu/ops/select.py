@@ -110,11 +110,10 @@ def _pad_to(img, hp, wp, value):
     return jnp.pad(img, ((0, hp - h), (0, wp - w)), constant_values=value)
 
 
-@partial(jax.jit, static_argnames=("pot", "select_direction_distribution"))
-def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
-                   pot: int, th_factor: float = 1.0,
-                   grad_downweight_per_level: float = 0.75,
-                   select_direction_distribution: bool = True):
+def _cascade_winners(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
+                     pot: int, th_factor: float = 1.0,
+                     grad_downweight_per_level: float = 0.75,
+                     select_direction_distribution: bool = True):
     """The 3-scale selection cascade (select / selectFromLidar).
 
     Args:
@@ -217,17 +216,36 @@ def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
     blk4_has2 = sel2.reshape(nc_y // 4, 2, nc_x // 4, 2).any(axis=(1, 3))
     sel3 = (v3 >= 0.0) & (~blk4_has1) & (~blk4_has2)
 
-    # scatter statuses into the (padded) image, then crop
-    status = jnp.zeros((hp * wp,), jnp.int8)
-    status = status.at[jnp.where(sel3, i3, hp * wp - 1)].max(
-        jnp.where(sel3, jnp.int8(4), jnp.int8(0)))
-    status = status.at[jnp.where(sel2, i2, hp * wp - 1)].max(
-        jnp.where(sel2, jnp.int8(2), jnp.int8(0)))
-    status = status.at[jnp.where(sel1, i1, hp * wp - 1)].max(
-        jnp.where(sel1, jnp.int8(1), jnp.int8(0)))
-    status = status.reshape(hp, wp)[:h, :w]
     counts = jnp.stack([sel1.sum(), sel2.sum(), sel3.sum()]).astype(jnp.int32)
-    return status, counts
+    # winner lists: flat PADDED-image pixel index + status per cascade level.
+    # The three levels pick from disjoint pixel sets (level 2/3 exclude
+    # blocks containing a finer selection), so concatenation is duplicate-
+    # free. Compact consumers work from these lists directly — scattering
+    # statuses into the (H, W) image and nonzero-compacting it back costs
+    # ~0.2 us per IMAGE cell on TPU (~350 ms at KITTI size).
+    winners = [(sel1, i1, 1), (sel2, i2, 2), (sel3, i3, 4)]
+    return winners, counts, (hp, wp)
+
+
+@partial(jax.jit, static_argnames=("pot", "select_direction_distribution"))
+def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
+                   pot: int, th_factor: float = 1.0,
+                   grad_downweight_per_level: float = 0.75,
+                   select_direction_distribution: bool = True):
+    """The 3-scale selection cascade returning the dense status image
+    (legacy/oracle form; compact consumers use the winner lists inside
+    select_compact instead).
+
+    Returns (status (H, W) int8 in {0,1,2,4}, counts (3,) int32)."""
+    h, w = ag0.shape
+    winners, counts, (hp, wp) = _cascade_winners(
+        dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key, pot, th_factor,
+        grad_downweight_per_level, select_direction_distribution)
+    status = jnp.zeros((hp * wp,), jnp.int8)
+    for sel, idx, code in winners[::-1]:
+        status = status.at[jnp.where(sel, idx, hp * wp - 1)].max(
+            jnp.where(sel, jnp.int8(code), jnp.int8(0)))
+    return status.reshape(hp, wp)[:h, :w], counts
 
 
 @partial(jax.jit, static_argnames=("pot", "cap",
@@ -257,22 +275,32 @@ def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, px_u_map,
 
     h, w = ag0.shape
     ths = grad_hist_thresholds(ag0, min_grad_hist_cut, min_grad_hist_add)
-    status, counts = select_cascade(
+    winners, counts, (hp, wp) = _cascade_winners(
         dI0, ag0, ag1, ag2, ths, cand_mask, key, pot, th_factor,
         grad_downweight_per_level, select_direction_distribution)
-    flat = (status != 0).reshape(-1)
-    n_sel = flat.sum()
-    idx = jnp.nonzero(flat, size=cap, fill_value=h * w)[0]
-    valid = idx < h * w
-    idx_c = jnp.minimum(idx, h * w - 1)
-    vs = (idx_c // w).astype(jnp.float32)
-    us = (idx_c % w).astype(jnp.float32)
-    z = depth_map[(idx_c // w), (idx_c % w)]
+    # compact winner lists directly (≈(h*w)/pot² rows) instead of
+    # scatter+nonzero over the full image: sort by padded-flat pixel index
+    # preserves the reference's row-major insertion order
+    widx = jnp.concatenate([jnp.where(s, i, hp * wp).ravel()
+                            for s, i, _ in winners])
+    wvalid = widx < hp * wp
+    skey = jnp.where(wvalid, widx, jnp.int32(2 ** 30))
+    (skey_sorted,) = jax.lax.sort((skey,), num_keys=1)
+    take = skey_sorted[:cap]
+    valid = take < hp * wp
+    idx_c = jnp.where(valid, take, 0)
+    n_sel = wvalid.sum()
+    vs_i = idx_c // wp
+    us_i = idx_c % wp
+    valid = valid & (us_i < w) & (vs_i < h)
+    vs = vs_i.astype(jnp.float32)
+    us = us_i.astype(jnp.float32)
+    z = depth_map[jnp.minimum(vs_i, h - 1), jnp.minimum(us_i, w - 1)]
     # LiDAR-depth candidates live at the winning candidate's exact float
     # projection (FullSystem.cpp:1313: point created at the candidate's
     # float Ku/Kv with its own depth); mono candidates at the pixel itself
-    fu = px_u_map[(idx_c // w), (idx_c % w)]
-    fv = px_v_map[(idx_c // w), (idx_c % w)]
+    fu = px_u_map[jnp.minimum(vs_i, h - 1), jnp.minimum(us_i, w - 1)]
+    fv = px_v_map[jnp.minimum(vs_i, h - 1), jnp.minimum(us_i, w - 1)]
     use_f = (z > 0) & (fu >= 0) & (fv >= 0)
     us = jnp.where(use_f, fu, us)
     vs = jnp.where(use_f, fv, vs)

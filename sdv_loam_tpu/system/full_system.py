@@ -170,6 +170,12 @@ class FullSystem:
 
         self._im_dev = None            # device-resident trace state cache
         self._pt_dev = None            # device cache of track-step pool args
+        # SDV_SYNC_STAGES=1: block after each device dispatch so the
+        # telemetry stage table separates device+dispatch time (stage host_s)
+        # from pure link time (sync_s) — profiling only, serializes pipeline
+        import os as _os
+        self._block = jax.block_until_ready \
+            if _os.environ.get("SDV_SYNC_STAGES") else (lambda x: x)
         self.initialized = False
         self.is_lost = False
         self.init_failed = False
@@ -195,18 +201,25 @@ class FullSystem:
         return se3.se3_exp_np(self.eps) @ self.T_cw_fej
 
     def _preprocess(self, cloud: np.ndarray):
+        # bucketed cloud capacity: device cost of the scan pipeline scales
+        # with the padded row count, so pad to the smallest bucket that fits
+        # (each bucket is one compiled program)
         cap = self._lidar_cap
+        for b in (cap // 4, cap // 2):
+            if cloud.shape[0] <= b:
+                cap = b
+                break
         buf = np.zeros((cap, 3), np.float32)
         n = min(cloud.shape[0], cap)
         buf[:n] = cloud[:n]
         mask = np.zeros(cap, bool)
         mask[:n] = True
-        out = lidar_ops.preprocess_scan(
+        out = self._block(lidar_ops.preprocess_scan(
             jnp.asarray(buf), jnp.asarray(mask),
             jnp.asarray(self.sensor.R_cl, jnp.float32),
             jnp.asarray(self.sensor.t_cl, jnp.float32),
             float(self.K0[0]), float(self.K0[1]), float(self.K0[2]),
-            float(self.K0[3]), self.w, self.h)
+            float(self.K0[3]), self.w, self.h))
         return out
 
     def _free_pt_rows(self, n):
@@ -289,8 +302,8 @@ class FullSystem:
             return
 
         with self.telemetry.stage("pyramid"):
-            dI, abs_grad = make_images(jnp.asarray(image, jnp.float32),
-                                       self.levels)
+            dI, abs_grad = self._block(
+                make_images(jnp.asarray(image, jnp.float32), self.levels))
         with self.telemetry.stage("lidar"):
             scan = self._preprocess(cloud)
 
@@ -487,7 +500,7 @@ class FullSystem:
             # of three by level-0 residual measurably improves ATE (the
             # single-candidate fast path loses ~5x accuracy)
             n_refine = 3
-            out = yield track_frame_step(
+            out = yield self._block(track_frame_step(
                 self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
                 jnp.asarray(T_batch), jnp.asarray(exclude),
                 jnp.asarray(aff_last, jnp.float32),
@@ -501,7 +514,7 @@ class FullSystem:
                 ridx_d, jnp.asarray(self.K0),
                 self.s.coarse_cutoff_th, self.s.huber_th,
                 coarsest_lvl=coarsest, w=self.w, h=self.h,
-                max_level=self.levels - 1, n_refine=n_refine)
+                max_level=self.levels - 1, n_refine=n_refine))
             r0 = float(np.asarray(out["res"])[0])
             o = bool(out["ok"]) and np.isfinite(r0) and \
                 np.isfinite(np.asarray(out["T_wc"])).all()
@@ -617,13 +630,13 @@ class FullSystem:
                        jnp.asarray(im["host"])),
             )
         u_d, v_d, col_d, wgt_d, gH_d, eth_d, host_d = dev["const"]
-        out = trace_ops.trace_points(
+        out = self._block(trace_ops.trace_points(
             u_d, v_d, dev["idepth_min"], dev["idepth_max"], dev["status"],
             dev["quality"], col_d, wgt_d, gH_d, eth_d, host_d,
             jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affp),
             frame["dI"][0], w=self.w, h=self.h,
             max_pix_search_frac=self.s.max_pix_search,
-            huber_th=self.s.huber_th)
+            huber_th=self.s.huber_th))
         self._im_dev = dict(idepth_min=out["idepth_min"],
                             idepth_max=out["idepth_max"],
                             status=out["status"], quality=out["quality"],
@@ -798,7 +811,7 @@ class FullSystem:
                               self.pt["prior"] * s.idepth_fix_prior_marg_fac,
                               0.0).astype(np.float32)
 
-        out = kf_opt_step(
+        out = self._block(kf_opt_step(
             jnp.asarray(self.T_cw_fej, jnp.float32),
             jnp.asarray(self.eps, jnp.float32),
             jnp.asarray(self.K0), jnp.asarray(self.K0),
@@ -834,7 +847,7 @@ class FullSystem:
             jnp.int32(s.min_good_res_for_marg),
             jnp.float32(s.min_idepth_h_marg),
             n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
-            levels=self.levels)
+            levels=self.levels))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",
@@ -1082,7 +1095,7 @@ class FullSystem:
         R_pair, t_pair, aff_pair = self._pair_transforms()
 
         im = self.im
-        out = yield activate_full(
+        out = yield self._block(activate_full(
             jnp.asarray(im["u"]), jnp.asarray(im["v"]),
             jnp.asarray(im["idepth_min"]), jnp.asarray(im["idepth_max"]),
             jnp.asarray(im["status"]), jnp.asarray(im["quality"]),
@@ -1102,7 +1115,7 @@ class FullSystem:
             jnp.float32(s.min_trace_quality),
             jnp.float32(s.min_idepth_h_act),
             w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
-            a_cap=self.M, gn_iters=s.gn_its_on_point_activation)
+            a_cap=self.M, gn_iters=s.gn_its_on_point_activation))
 
         dead = out["dead"]
         kill = out["kill"]
