@@ -38,6 +38,12 @@ class Observer:
     def push_depth_image(self, depth: np.ndarray):
         """Tracking-reference inverse depth (pushDepthImageFloat)."""
 
+    def on_keyframe(self, fs):
+        """Full-state hook after each KF. The reference's debug renderings
+        (debugPlot/debugPlotTracking) run inside makeKeyFrame with direct
+        FullSystem access rather than through Output3DWrapper
+        (FullSystemDebugStuff.cpp:21,78); this hook is that entry point."""
+
     def reset(self):
         """System reset (Output3DWrapper::reset)."""
 

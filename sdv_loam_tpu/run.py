@@ -41,6 +41,15 @@ def build_parser():
     p.add_argument("--nogui", action="store_true", default=True)
     p.add_argument("--viewer", metavar="DIR",
                    help="write viewer snapshots to DIR")
+    p.add_argument("--viewer3d", metavar="HTML",
+                   help="write an interactive 3-D map scene (standalone "
+                        "HTML; Pangolin-viewer counterpart)")
+    p.add_argument("--debug-plots", metavar="DIR",
+                   help="write window debug renderings per KF "
+                        "(FullSystemDebugStuff parity)")
+    p.add_argument("--debug-plot-mode", type=int, default=0,
+                   choices=[0, 1, 3, 4, 5, 6, 7],
+                   help="debugPlot point-overlay mode (freeDebugParam5)")
     p.add_argument("--record", metavar="JSONL",
                    help="record observer events to JSONL")
     p.add_argument("--log", metavar="JSONL", help="telemetry log stream")
@@ -82,6 +91,13 @@ def main(argv=None):
     if args.viewer:
         from sdv_loam_tpu.io.viewer import MatplotlibViewer
         observers.append(MatplotlibViewer(args.viewer))
+    if args.viewer3d:
+        from sdv_loam_tpu.io.viewer3d import Html3DViewer
+        observers.append(Html3DViewer(args.viewer3d, every=5))
+    if args.debug_plots:
+        from sdv_loam_tpu.io.debug_plots import DebugPlotWriter
+        observers.append(DebugPlotWriter(args.debug_plots,
+                                         mode=args.debug_plot_mode))
     if args.record:
         from sdv_loam_tpu.io.observer import JsonlRecorder
         observers.append(JsonlRecorder(args.record))

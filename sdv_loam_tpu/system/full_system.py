@@ -759,6 +759,7 @@ class FullSystem:
                 ob.publish_keyframes(
                     [self.frame_kf_id[sl] for sl in self.order],
                     T_wc[self.order], pw, self.pt["host"][m])
+                ob.on_keyframe(self)
 
     def _kf_opt_steps(self, frame, slot):
         """Matcher refresh + windowed BA + outlier removal + tracking-ref
