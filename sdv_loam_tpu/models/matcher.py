@@ -27,9 +27,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from sdv_loam_tpu.ops.align import (align1d_batch, align2d_batch,
-                                    best_search_level, warp_affine_patches,
-                                    warp_matrix_affine)
+from sdv_loam_tpu.ops.align import (align_batch, best_search_level,
+                                    warp_affine_patches, warp_matrix_affine)
 from sdv_loam_tpu.utils import se3
 
 CELL_SIZE = 25          # Reprojector::initializeGrid (:100)
@@ -158,9 +157,6 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     center_off = 0.5 * (scale - 1.0)
     px_scaled = (px_t_c - center_off[:, None]) / scale[:, None]
 
-    px2, conv2 = align2d_batch(flat_pyr, offsets, widths, heights, lvl,
-                               patches, px_scaled, a_rel, b_rel, cand)
-
     # edgelet direction: host gradient at the ref pixel, pushed through A
     hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
     flat0 = dI0_stack.reshape(-1, 3)
@@ -170,14 +166,13 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     dir_cur = jnp.einsum("nij,nj->ni", A, gn)
     dir_cur = dir_cur / jnp.maximum(jnp.linalg.norm(dir_cur, axis=-1,
                                                     keepdims=True), 1e-9)
-    px1, conv1 = align1d_batch(flat_pyr, offsets, widths, heights, lvl,
-                               patches, px_scaled, dir_cur, a_rel, b_rel,
-                               cand)
 
     is_edge = type_c == 1
-    px_c = jnp.where(is_edge[:, None], px1, px2) * scale[:, None] \
-        + center_off[:, None]
-    m_c = jnp.where(is_edge, conv1, conv2) & cand
+    px_a, m_c = align_batch(flat_pyr, offsets, widths, heights, lvl,
+                            patches, px_scaled, dir_cur, is_edge,
+                            a_rel, b_rel, cand)
+    px_c = px_a * scale[:, None] + center_off[:, None]
+    m_c = m_c & cand
     m_c = m_c & jnp.isfinite(px_c).all(axis=-1)
 
     # scatter back to the full pool layout

