@@ -95,6 +95,10 @@ def main():
     # per-stage host-vs-sync split: where the frame time goes (VERDICT item 7)
     print("[bench] stage table (single-seq):\n" + fs.telemetry.stage_table(),
           file=sys.stderr)
+    if fs.track_iters_hist:
+        hist = np.stack(fs.track_iters_hist[warmup_frames:])
+        print(f"[bench] track LM iters/level mean={hist.mean(0).round(1)} "
+              f"max={hist.max(0)}", file=sys.stderr)
     del fs  # free device buffers before the fleet run
 
     extra = {"ate_m": round(float(ate), 4), "n_frames": n_timed,

@@ -129,6 +129,9 @@ class Settings:
     frame_energy_th_fac_median: float = 1.5
     overall_energy_th_weight: float = 1.0
     coarse_cutoff_th: float = 20.0
+    # stage-2 structPoseEstimation (FullSystem.cpp:483-492); disable to run
+    # photometric-only tracking (diagnostic / ablation)
+    use_struct_pose: bool = True
 
     # --- pixel selection (settings.cpp:119-123) ---
     min_grad_hist_cut: float = 0.5

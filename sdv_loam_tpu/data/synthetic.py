@@ -90,6 +90,57 @@ def default_scene(cam_height: float = 1.65, half_width: float = 9.0,
     return [g, left, right, back]
 
 
+def scene_along_path(poses_wc: np.ndarray, half_width: float = 9.0,
+                     seg_len: float = 20.0, cam_height: float = 1.65,
+                     wall_top: float = 9.0) -> list[Plane]:
+    """A winding canyon: bounded wall segments flanking the TRAJECTORY.
+
+    The default corridor is straight and world-fixed, so any trajectory
+    with sustained yaw eventually swings laterally into the walls and the
+    scene degenerates (no geometry in view). This builds left/right wall
+    segments every `seg_len` meters of path, oriented along the local
+    heading — sharp S-curves and 90-degree turns stay inside a textured
+    canyon, like a street of building fronts.
+    """
+    pos = poses_wc[:, :3, 3]
+    fwd = poses_wc[:, :3, 2]                       # camera z = heading
+    arc = np.concatenate([[0.0], np.cumsum(
+        np.linalg.norm(np.diff(pos, axis=0), axis=1))])
+    planes = [Plane(np.array([0.0, cam_height, 0.0]),
+                    np.array([0.0, -1.0, 0.0]),
+                    np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                    None, 11)]
+    up = np.array([0.0, -1.0, 0.0])                # world -y is up
+    seed = 100
+    s = 0.0
+    while s < arc[-1] + seg_len:
+        i = int(np.searchsorted(arc, min(s + 0.5 * seg_len, arc[-1])))
+        i = min(i, len(pos) - 1)
+        c = pos[i]
+        h = fwd[i] * np.array([1.0, 0.0, 1.0])     # project to drive plane
+        h = h / max(np.linalg.norm(h), 1e-9)
+        lat = np.cross(up, h)
+        # abutting segments (no overlap): on straight sections overlapping
+        # COPLANAR segments with different textures tie in ray distance and
+        # the winner is numerically unstable -> texture flicker that breaks
+        # photometric consistency. Curve joints leave small stable wedge
+        # gaps/overlaps, which are harmless (static scene).
+        half = 0.5 * seg_len + 0.01
+        for side, tex in ((-1.0, 22), (1.0, 33)):
+            p0 = c + side * half_width * lat
+            n = -side * lat                        # faces the path
+            planes.append(Plane(p0, n, h.copy(), up.copy(),
+                                (-half, half, -cam_height, wall_top),
+                                seed))
+            seed += 1
+        s += seg_len
+    # far wall past the end of the path so forward rays terminate
+    end = pos[-1] + fwd[-1] * 120.0
+    planes.append(Plane(end, -fwd[-1] / max(np.linalg.norm(fwd[-1]), 1e-9),
+                        np.cross(up, fwd[-1]), up.copy(), None, 44))
+    return planes
+
+
 def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0, px_scale=0.0):
     """Cast rays against the scene.
 
@@ -102,6 +153,11 @@ def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0, px_scale=0.0):
     best_t = np.full(dirs.shape[0], np.inf)
     best_i = np.zeros(dirs.shape[0])
     dnorm = np.linalg.norm(dirs, axis=-1)
+    # cull far-away BOUNDED planes (path-following canyons have dozens of
+    # wall segments; only the nearby ones can be hit within texture range)
+    cam = origins[0]
+    scene = [pl for pl in scene
+             if pl.bounds is None or np.linalg.norm(pl.p0 - cam) < 250.0]
     for pl in scene:
         denom = dirs @ pl.n
         num = (pl.p0 - origins) @ pl.n
@@ -235,10 +291,16 @@ def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
                   fx: float | None = None, step: float = 1.0,
                   yaw_rate=0.004, seed: int = 7,
                   lidar_stride: int = 4,
-                  half_width: float = 9.0) -> SyntheticSequence:
+                  half_width: float = 9.0,
+                  follow_path: bool = False) -> SyntheticSequence:
     """Build a synthetic sequence. Default small size for tests; use
     (1200, 360) with fx≈718 and half_width≈15 for KITTI-like benchmark
-    runs (KITTI streets put structure 10-20 m to the sides)."""
+    runs (KITTI streets put structure 10-20 m to the sides).
+
+    `follow_path` builds the canyon ALONG the trajectory (scene_along_path)
+    — required whenever the yaw profile swings the path more than
+    ~half_width laterally (sharp S-curves, 90-degree turns); the default
+    world-fixed corridor degenerates there."""
     if fx is None:
         fx = 0.6 * w  # ~horizontal FOV of KITTI
     calib = make_pyramid_calib(w, h, fx, fx, (w - 1) / 2.0, (h - 1) / 2.0 - h * 0.12)
@@ -246,6 +308,7 @@ def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
                          _R_CL.copy(), _T_CL.copy())
     poses = make_trajectory(n_frames, step=step, yaw_rate=yaw_rate, seed=seed)
     ts = np.arange(n_frames) * 0.1
-    return SyntheticSequence(calib, sensor, poses,
-                             default_scene(half_width=half_width), ts,
+    scene = scene_along_path(poses, half_width=half_width) if follow_path \
+        else default_scene(half_width=half_width)
+    return SyntheticSequence(calib, sensor, poses, scene, ts,
                              lidar_stride=lidar_stride)

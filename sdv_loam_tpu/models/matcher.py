@@ -46,15 +46,26 @@ def _project(T_wc_inv, pts_world, K):
     return jnp.stack([u, v], axis=-1), z
 
 
-@partial(jax.jit, static_argnames=("w", "h", "max_level"))
+@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell"))
 def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         pts_valid, pts_quality,
                         T_wc_stack, aff_stack, exposure_stack,
                         dI0_stack, flat_pyr, offsets, widths, heights,
                         T_wc_target, aff_target, exposure_target,
                         K, ref_idx_per_point,
-                        w: int, h: int, max_level: int):
+                        w: int, h: int, max_level: int,
+                        per_cell: bool = True):
     """Match window map points into a target frame.
+
+    `per_cell=True` keeps the reference's one-match-per-25px-cell limit
+    (reprojectCell:198-236) — right for the TRACKING pass feeding struct
+    pose. The KF matcher refresh must pass `per_cell=False` (align every
+    in-bounds point): the reference runs a SEPARATE per-cell grid for each
+    (host frame, target) pair (makeKeyFrame:1105-1117), so its per-target
+    coverage is ~n_cells * n_frames; a single mixed-host grid starves the
+    residual graph ~F-fold (measured: 1.8 residuals/point instead of ~6,
+    which let yaw drift diverge on long S-curves). Matching all points is
+    the batched superset of the reference's per-pair passes.
 
     Args:
       pts_*: (N,) point pool — host pixel, inverse depth, host slot, type
@@ -96,22 +107,27 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     cell = jnp.where(inb, (pxi[:, 1] // CELL_SIZE) * n_cols
                      + (pxi[:, 0] // CELL_SIZE), n_cells)
 
-    # winner per cell: min quality, then min index among ties
-    BIGQ = jnp.float32(1e30)
-    q = jnp.where(inb, pts_quality, BIGQ)
-    cell_minq = jnp.full((n_cells + 1,), BIGQ).at[cell].min(q)
-    tie = inb & (q == cell_minq[cell])
-    idxs = jnp.arange(N, dtype=jnp.int32)
-    cell_mini = jnp.full((n_cells + 1,), N, jnp.int32).at[
-        jnp.where(tie, cell, n_cells)].min(jnp.where(tie, idxs, N))
-    winner = tie & (cell_mini[cell] == idxs)
+    if per_cell:
+        # winner per cell: min quality, then min index among ties
+        BIGQ = jnp.float32(1e30)
+        q = jnp.where(inb, pts_quality, BIGQ)
+        cell_minq = jnp.full((n_cells + 1,), BIGQ).at[cell].min(q)
+        tie = inb & (q == cell_minq[cell])
+        idxs = jnp.arange(N, dtype=jnp.int32)
+        cell_mini = jnp.full((n_cells + 1,), N, jnp.int32).at[
+            jnp.where(tie, cell, n_cells)].min(jnp.where(tie, idxs, N))
+        winner = tie & (cell_mini[cell] == idxs)
 
-    # --- compact to the per-cell winner lanes: at most one candidate per
-    # grid cell exists, so the expensive warp+align runs on an
-    # M = n_cells-sized batch instead of all N points ---
-    M = -(-n_cells // 8) * 8
-    (cidx,) = jnp.nonzero(winner, size=M, fill_value=0)
-    lane_valid = jnp.arange(M) < winner.sum()
+        # --- compact to the per-cell winner lanes: at most one candidate
+        # per grid cell exists, so the expensive warp+align runs on an
+        # M = n_cells-sized batch instead of all N points ---
+        M = -(-n_cells // 8) * 8
+        (cidx,) = jnp.nonzero(winner, size=M, fill_value=0)
+        lane_valid = jnp.arange(M) < winner.sum()
+    else:
+        # every in-bounds point is its own lane (KF matcher refresh)
+        cidx = jnp.arange(N, dtype=jnp.int32)
+        lane_valid = inb
 
     pw_c = pw[cidx]
     px_t_c = px_t[cidx]
@@ -183,14 +199,15 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     return dict(matched=matched, px=px_out)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "max_level"))
+@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell"))
 def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               pts_valid, pts_quality,
                               T_wc_stack, aff_stack, exposure_stack,
                               dI0_stack, flat_pyr_stack, offsets, widths,
                               heights, T_wc_targets, aff_targets,
                               exposure_targets, K, ref_idx_stack,
-                              w: int, h: int, max_level: int):
+                              w: int, h: int, max_level: int,
+                              per_cell: bool = True):
     """Match the point pool into SEVERAL target frames in one dispatch.
 
     vmap of reproject_and_match over the target axis — used by the keyframe
@@ -204,7 +221,7 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
             pts_u, pts_v, pts_idepth, pts_host, pts_type, pts_valid,
             pts_quality, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
             flat_pyr, offsets, widths, heights, T_t, aff_t, exp_t, K,
-            ref_idx, w=w, h=h, max_level=max_level)
+            ref_idx, w=w, h=h, max_level=max_level, per_cell=per_cell)
 
     return jax.vmap(one)(flat_pyr_stack, T_wc_targets, aff_targets,
                          exposure_targets, ref_idx_stack)

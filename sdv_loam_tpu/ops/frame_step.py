@@ -32,7 +32,7 @@ from sdv_loam_tpu.utils import se3
 
 
 @partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level",
-                                   "n_refine"))
+                                   "n_refine", "use_struct_pose"))
 def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      Ks, T_tries, try_exclude, aff_last, ref_aff, exposures,
                      min_res_for_abort, ref_T_wc,
@@ -41,7 +41,7 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      dI0_stack, ref_idx_per_point, K0,
                      cutoff_th, huber_th,
                      coarsest_lvl: int, w: int, h: int, max_level: int,
-                     n_refine: int = 3):
+                     n_refine: int = 3, use_struct_pose: bool = True):
     """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
     best_try) — `try_exclude` masks hypotheses already consumed by a host
     retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
@@ -116,7 +116,8 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     sp = struct_pose_estimate(T_wc_fh, pw, match["px"], match["matched"],
                               K0, w, h)
     # only adopt the struct pose when enough matches constrain it
-    T_wc_out = jnp.where(n_matched >= 10, sp["T_cur_to_world"], T_wc_fh)
+    T_wc_out = jnp.where(use_struct_pose & (n_matched >= 10),
+                         sp["T_cur_to_world"], T_wc_fh)
     T_wc_out = jnp.where(jnp.isfinite(T_wc_out).all(), T_wc_out, T_wc_fh)
 
     return dict(T_ref_to_fh=T_ref2fh, T_wc=T_wc_out, aff=tr["aff"],

@@ -468,7 +468,13 @@ class FullSystem:
         B = 32 if len(tries) <= 32 else self.N_TRIES_CAP
         T_batch = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
         nt = min(len(tries), B)
-        T_batch[:nt] = np.stack(tries[:nt]).astype(np.float32)
+        stackt = np.stack(tries[:nt])
+        # shells can hold non-finite poses after a hard tracking failure;
+        # feed the ladder identities instead of letting inf/nan cascade
+        # into the device program and the host inv() below
+        bad = ~np.isfinite(stackt).all(axis=(1, 2))
+        stackt[bad] = np.eye(4)
+        T_batch[:nt] = stackt.astype(np.float32)
 
         ref_shell = self.shells[self.frame_shell_idx[self.track_ref_slot]]
         n_window = len(self.order)
@@ -490,12 +496,19 @@ class FullSystem:
                 jnp.asarray(self.pt["quality"]), jnp.asarray(ref_idx))
         (pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, ridx_d) = self._pt_dev
 
-        # re-track ladder: up to 3 attempts, excluding consumed hypotheses
-        # (trackNewCoarse:429-457 — accept when the residual beats
-        # lastCoarseRMSE * re_track_threshold)
+        # re-track ladder (trackNewCoarse:412-462). The reference tries
+        # hypotheses ONE AT A TIME and breaks at the first whose residual
+        # beats lastCoarseRMSE * re_track_threshold; attempt 1 here already
+        # evaluates EVERY hypothesis on the coarsest level and full-refines
+        # the top 3 with the constant-motion preference — a strict superset
+        # of the reference's search — so the residual threshold cannot be
+        # improved by re-running with the winner excluded (measured: the
+        # threshold-triggered retries ran 1.8 full track programs per frame
+        # for no accuracy change). Retries remain for INVALID results only
+        # (NaN/diverged refinement), mirroring the reference's !haveOneGood
+        # continuation.
         exclude = np.zeros(B, bool)
         exclude[nt:] = True
-        last_rmse = self.last_coarse_rmse[0]
         best_out, best_res0 = None, np.inf
         for attempt in range(3):
             # top-3 full-pyramid refinement every attempt: picking the best
@@ -516,21 +529,23 @@ class FullSystem:
                 ridx_d, jnp.asarray(self.K0),
                 self.s.coarse_cutoff_th, self.s.huber_th,
                 coarsest_lvl=coarsest, w=self.w, h=self.h,
-                max_level=self.levels - 1, n_refine=n_refine))
+                max_level=self.levels - 1, n_refine=n_refine,
+                use_struct_pose=self.s.use_struct_pose))
             r0 = float(np.asarray(out["res"])[0])
             o = bool(out["ok"]) and np.isfinite(r0) and \
                 np.isfinite(np.asarray(out["T_wc"])).all()
             if o and r0 < best_res0:
                 best_out, best_res0 = out, r0
-            if o and (not np.isfinite(last_rmse)
-                      or r0 < last_rmse * self.s.re_track_threshold):
+            if o:
                 break
             exclude[int(out["best_try"])] = True
             if exclude[:nt].all():
                 break
         out = best_out if best_out is not None else out
-        # device-cost diagnostic: LM iterations actually paid per level
-        self.track_iters_hist.append(np.asarray(out["lvl_iters"]))
+        # device-cost diagnostic: LM iterations actually paid per level,
+        # plus how many retry-ladder attempts (= dispatch+pull rounds) ran
+        self.track_iters_hist.append(np.concatenate(
+            [np.asarray(out["lvl_iters"]), [attempt + 1]]))
 
         res = np.asarray(out["res"], np.float64)
         flow = np.asarray(out["flow"], np.float64)
@@ -547,15 +562,13 @@ class FullSystem:
             T_ref2fh = np.asarray(out["T_ref_to_fh"], np.float64)
             T_wc = np.asarray(out["T_wc"], np.float64)
             aff_fh = np.asarray(out["aff"], np.float64)
-            # matches into this frame, reused by the KF matcher refresh
-            frame["match_newest"] = (np.asarray(out["matched"]),
-                                     np.asarray(out["match_px"]))
 
         self.last_coarse_rmse = np.where(np.isfinite(res), res, 100.0)
 
         shell = frame["shell"]
         shell["aff"] = np.asarray(aff_fh)
         shell["T_wc"] = T_wc
+        shell["T_wc_tracked"] = np.array(T_wc)   # pre-BA (diagnostics)
         shell["tracking_ref"] = ref_shell["id"]
 
         if self.first_coarse_rmse < 0:
@@ -789,21 +802,6 @@ class FullSystem:
         elif len(self.order) < 4:
             iters = 75
 
-        # tracking-time match cache into this frame (pre-activation points)
-        cached = frame.get("match_newest")
-        if cached is not None:
-            cm, cpx = cached
-            cm = np.asarray(cm, bool)
-            cpx = np.asarray(cpx, np.float32)
-        else:
-            cm = np.zeros(N, bool)
-            cpx = np.zeros((N, 2), np.float32)
-        just = np.zeros(N, bool)
-        just[getattr(self, "_just_activated", np.zeros(0, int))] = True
-        if cached is None:
-            # no cache: run the device matcher pass for every old-host point
-            just = self.pt_valid & (self.pt["host"] != slot)
-
         # reference-frame indices (findMatchDirect:242-252 window<=2 case)
         n_window = len(self.order)
         ref_idx_newest = self.pt["host"].copy()
@@ -847,8 +845,6 @@ class FullSystem:
             jnp.asarray(self.res_is_new),
             jnp.asarray(self.matcher_px), jnp.asarray(self.matcher_valid),
             self.dI0_stack,
-            jnp.asarray(just), jnp.bool_(cached is not None),
-            jnp.asarray(cm), jnp.asarray(cpx),
             flat_newest, offs, ws, hs, flat_stack,
             jnp.asarray(ref_idx_newest), jnp.asarray(ref_idx_multi),
             jnp.asarray(multi_mask),

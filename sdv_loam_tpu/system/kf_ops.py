@@ -131,7 +131,6 @@ def kf_opt_step(
         num_good_res, res_active, res_state, res_is_new,
         matcher_px, matcher_valid, dI0_stack,
         # matcher inputs
-        just_activated, cached_valid, cached_matched, cached_px,
         flat_newest, offs, widths, heights, flat_slots_stack,
         ref_idx_newest, ref_idx_multi, multi_target_mask,
         # newest-frame pyramid (tuple of levels) for the tracking reference
@@ -170,24 +169,21 @@ def kf_opt_step(
     aff_newest = aff[newest]
     exp_newest = exposure[newest]
 
-    # ---- matcher pass 1: old points -> newest frame ----
-    # cached tracking-time matches cover points that existed pre-activation
+    # ---- matcher pass 1: ALL old-host points -> newest frame ----
+    # per_cell=False: the reference refreshes with one per-cell grid per
+    # (host frame, target) pair (makeKeyFrame:1105-1117); a single
+    # mixed-host grid starves the residual graph ~F-fold and long-run yaw
+    # drift diverges. Matching every point is the batched superset (and
+    # supersedes the tracking-time per-cell match cache, which the
+    # reference never writes into pt->matcher either: backup=true only in
+    # backprojectMap, Reprojector.cpp:161).
     hf = pt_valid & (pt_host != newest)
-    upd_cached = cached_valid & cached_matched & hf & (~just_activated)
-    matcher_px = jnp.where(upd_cached[:, None, None]
-                           & (jnp.arange(F)[None, :, None] == newest),
-                           cached_px[:, None, :], matcher_px)
-    matcher_valid = matcher_valid | (upd_cached[:, None]
-                                     & (jnp.arange(F)[None, :] == newest))
-    # fresh pass for just-activated points (backprojectMap runs AFTER
-    # activatePointsMT in the reference)
-    fresh_mask = just_activated & hf
     fresh = reproject_and_match(
-        pt_u, pt_v, pt_idepth, pt_host, pt_type, fresh_mask, pt_quality,
+        pt_u, pt_v, pt_idepth, pt_host, pt_type, hf, pt_quality,
         T_wc, aff, exposure, dI0_stack, flat_newest, offs, widths, heights,
         T_wc_newest, aff_newest, exp_newest, calib, ref_idx_newest,
-        w=w, h=h, max_level=max_level)
-    upd_fresh = fresh["matched"] & fresh_mask
+        w=w, h=h, max_level=max_level, per_cell=False)
+    upd_fresh = fresh["matched"] & hf
     matcher_px = jnp.where(upd_fresh[:, None, None]
                            & (jnp.arange(F)[None, :, None] == newest),
                            fresh["px"][:, None, :], matcher_px)
@@ -200,7 +196,7 @@ def kf_opt_step(
         pt_u, pt_v, pt_idepth, pt_host, pt_type, nf, pt_quality,
         T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
         heights, T_wc, aff, exposure, calib, ref_idx_multi,
-        w=w, h=h, max_level=max_level)
+        w=w, h=h, max_level=max_level, per_cell=False)
     mm = multi["matched"].swapaxes(0, 1) & nf[:, None] \
         & multi_target_mask[None, :]                       # (N, F)
     mpx = multi["px"].swapaxes(0, 1)                       # (N, F, 2)
