@@ -46,7 +46,8 @@ def _project(T_wc_inv, pts_world, K):
     return jnp.stack([u, v], axis=-1), z
 
 
-@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell"))
+@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell",
+                                   "lane_cap_frac"))
 def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         pts_valid, pts_quality,
                         T_wc_stack, aff_stack, exposure_stack,
@@ -54,7 +55,8 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         T_wc_target, aff_target, exposure_target,
                         K, ref_idx_per_point,
                         w: int, h: int, max_level: int,
-                        per_cell: bool = True):
+                        per_cell: bool = True,
+                        lane_cap_frac: float = 1.0):
     """Match window map points into a target frame.
 
     `per_cell=True` keeps the reference's one-match-per-25px-cell limit
@@ -125,9 +127,15 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         (cidx,) = jnp.nonzero(winner, size=M, fill_value=0)
         lane_valid = jnp.arange(M) < winner.sum()
     else:
-        # every in-bounds point is its own lane (KF matcher refresh)
-        cidx = jnp.arange(N, dtype=jnp.int32)
-        lane_valid = inb
+        # every in-bounds point gets a lane (KF matcher refresh), compacted
+        # to `cap` lanes: the valid-point count is far below the pool
+        # capacity (N=4096 pool, ~2000-2500 live), and align cost scales
+        # with lane count. Overflow (more in-bounds points than cap) drops
+        # the highest pool indices — they simply stay unmatched this KF.
+        cap = max(1, int(lane_cap_frac * N))
+        cap = -(-cap // 8) * 8
+        (cidx,) = jnp.nonzero(inb, size=cap, fill_value=0)
+        lane_valid = jnp.arange(cap) < inb.sum()
 
     pw_c = pw[cidx]
     px_t_c = px_t[cidx]
@@ -199,7 +207,7 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     return dict(matched=matched, px=px_out)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell"))
+@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell", "lane_cap_frac"))
 def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               pts_valid, pts_quality,
                               T_wc_stack, aff_stack, exposure_stack,
@@ -207,7 +215,8 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               heights, T_wc_targets, aff_targets,
                               exposure_targets, K, ref_idx_stack,
                               w: int, h: int, max_level: int,
-                              per_cell: bool = True):
+                              per_cell: bool = True,
+                              lane_cap_frac: float = 1.0):
     """Match the point pool into SEVERAL target frames in one dispatch.
 
     vmap of reproject_and_match over the target axis — used by the keyframe
@@ -221,7 +230,8 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
             pts_u, pts_v, pts_idepth, pts_host, pts_type, pts_valid,
             pts_quality, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
             flat_pyr, offsets, widths, heights, T_t, aff_t, exp_t, K,
-            ref_idx, w=w, h=h, max_level=max_level, per_cell=per_cell)
+            ref_idx, w=w, h=h, max_level=max_level, per_cell=per_cell,
+            lane_cap_frac=lane_cap_frac)
 
     return jax.vmap(one)(flat_pyr_stack, T_wc_targets, aff_targets,
                          exposure_targets, ref_idx_stack)

@@ -182,7 +182,8 @@ def kf_opt_step(
         pt_u, pt_v, pt_idepth, pt_host, pt_type, hf, pt_quality,
         T_wc, aff, exposure, dI0_stack, flat_newest, offs, widths, heights,
         T_wc_newest, aff_newest, exp_newest, calib, ref_idx_newest,
-        w=w, h=h, max_level=max_level, per_cell=False)
+        w=w, h=h, max_level=max_level, per_cell=False,
+        lane_cap_frac=0.625)   # live points ~N/2; bucket with headroom
     upd_fresh = fresh["matched"] & hf
     matcher_px = jnp.where(upd_fresh[:, None, None]
                            & (jnp.arange(F)[None, :, None] == newest),
@@ -196,7 +197,8 @@ def kf_opt_step(
         pt_u, pt_v, pt_idepth, pt_host, pt_type, nf, pt_quality,
         T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
         heights, T_wc, aff, exposure, calib, ref_idx_multi,
-        w=w, h=h, max_level=max_level, per_cell=False)
+        w=w, h=h, max_level=max_level, per_cell=False,
+        lane_cap_frac=0.25)    # newest-host points: one KF's activations
     mm = multi["matched"].swapaxes(0, 1) & nf[:, None] \
         & multi_target_mask[None, :]                       # (N, F)
     mpx = multi["px"].swapaxes(0, 1)                       # (N, F, 2)
