@@ -87,6 +87,10 @@ class Settings:
     # --- solver (settings.cpp:34-36) ---
     solver_mode_delta: float = 0.00001
     force_accept_step: bool = False
+    # re-gate at every ACCEPTED LM step (reference re-gates every
+    # linearizeAll; False caches the initial gate for the whole LM — the
+    # fast path, see models/backend.linearize_residuals)
+    ba_gate_refresh: bool = False
 
     # --- activation / marginalization (settings.cpp:41-49) ---
     min_idepth_h_act: float = 100.0
@@ -109,7 +113,11 @@ class Settings:
     outlier_th_sum_component: float = 50.0 * 50.0
 
     marg_weight_fac: float = 0.5 * 0.5         # settings.cpp:72
-    re_track_threshold: float = 1.5            # settings.cpp:77
+    # settings.cpp:77 — UNUSED here by design: the batched hypothesis ladder
+    # evaluates every try at once and keeps the best, so the reference's
+    # residual-threshold sequential retry rule has no equivalent (PARITY.md
+    # "tracking retry ladder"). Kept for config-surface parity only.
+    re_track_threshold: float = 1.5
 
     min_good_active_res_for_marg: int = 3      # settings.cpp:82
     min_good_res_for_marg: int = 4             # settings.cpp:83

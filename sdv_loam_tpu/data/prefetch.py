@@ -35,6 +35,7 @@ class PrefetchReader:
     def __init__(self, reader, depth: int = 2, max_points: int = 200000):
         self.reader = reader
         self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._stash = None  # consumer-side holdback for backward skips
         self._stop = threading.Event()
         self._native_pf = None
         vels = getattr(reader, "velodyne_files", None)
@@ -78,14 +79,21 @@ class PrefetchReader:
     def get(self, i: int):
         """(image, cloud, timestamp) for frame i (sequential fast path)."""
         while True:
-            j, item = self._q.get()
+            if self._stash is not None:
+                j, item = self._stash
+                self._stash = None
+            else:
+                j, item = self._q.get()
             if j == -1:
                 raise item if isinstance(item, Exception) else RuntimeError(
                     str(item))
             if j == i:
                 return item
             if j > i:  # consumer skipped backward: direct read, keep staged
-                self._q.queue.appendleft((j, item))  # type: ignore[attr-defined]
+                # hold the staged frame locally — pushing back into the
+                # Queue's deque would race the worker's put() (unlocked
+                # mutation + broken not_empty/unfinished accounting)
+                self._stash = (j, item)
                 return self.reader.get(i)
             # j < i: consumer skipped forward; drop stale staged frames
 

@@ -28,6 +28,7 @@ class Telemetry:
         self._stack = []
         self.n_frames = 0
         self.n_keyframes = 0
+        self.counters = defaultdict(int)   # e.g. matcher overflow totals
         self.t_start = time.perf_counter()
         self.quiet = quiet
         self._log_f = open(log_path, "w") if log_path else None
@@ -117,6 +118,8 @@ class Telemetry:
             "sync_ms": {k: round(1000.0 * v / max(self.sync_count[k], 1), 2)
                         for k, v in sorted(self.sync_time.items())},
             "sync_count": dict(self.sync_count),
+            "kf_rate": round(self.n_keyframes / max(self.n_frames, 1), 3),
+            "counters": dict(self.counters),
         }
         return out
 

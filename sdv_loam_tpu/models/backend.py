@@ -103,6 +103,65 @@ def make_pairs(T_cw, T_cw_fej, aff, exposure, K):
 # residual linearization (PointFrameResidual::linearize, batched N x F)
 # ---------------------------------------------------------------------------
 
+def photometric_gate(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
+                     pairs, dI0_stack, w: int, h: int,
+                     huber_th: float = 6.0):
+    """The 8-point pattern outlier-gate energies at the pairs' CURRENT pose
+    (Residuals.cpp:157-194). Returns (energy_phot, wJI2), both (N, F).
+
+    Extracted from linearize_residuals so LM drivers can refresh the cached
+    gate at an accepted state without a full relinearization."""
+    huber_th = jnp.float32(huber_th)
+    N = pt_u.shape[0]
+    F = dI0_stack.shape[0]
+    pair_idx = pt_host[:, None] * F + jnp.arange(F)[None, :]     # (N, F)
+    KRKi = pairs["KRKi"][pair_idx]
+    Kt = pairs["Kt"][pair_idx]
+    a_rel = pairs["aff_a"][pair_idx]
+    b_rel = pairs["aff_b"][pair_idx]
+
+    pat = jnp.asarray(PATTERN_P, jnp.float32)
+    up = pt_u[:, None] + pat[:, 0]                             # (N, 8)
+    vp = pt_v[:, None] + pat[:, 1]
+    pix = jnp.stack([up, vp, jnp.ones_like(up)], -1)           # (N, 8, 3)
+    ptp2 = jnp.einsum("nfij,npj->nfpi", KRKi, pix) + \
+        (Kt * pt_idepth[:, None, None])[:, :, None, :]
+    Ku2 = ptp2[..., 0] / ptp2[..., 2]
+    Kv2 = ptp2[..., 1] / ptp2[..., 2]
+    pat_ok = (Ku2 > 1.1) & (Kv2 > 1.1) & (Ku2 < w - 3) & (Kv2 < h - 3)
+    # the reference `break`s at the first failed pattern point: emulate
+    # with a cumulative-AND along the pattern axis
+    pat_ok = jnp.cumprod(pat_ok.astype(jnp.int8), axis=-1).astype(bool)
+
+    from sdv_loam_tpu.ops.align import _flat_bilinear
+    hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
+    flat = dI0_stack.reshape(-1, 3)
+    base = (jnp.arange(F) * hw_img)[None, :, None]
+    base = jnp.broadcast_to(base, (N, F, 1)).reshape(N * F, 1)
+    wv = jnp.full((N * F, 1), dI0_stack.shape[2], jnp.int32)
+    Ku2c = jnp.clip(Ku2, 0.0, dI0_stack.shape[2] - 1.01).reshape(N * F, 8)
+    Kv2c = jnp.clip(Kv2, 0.0, dI0_stack.shape[1] - 1.01).reshape(N * F, 8)
+    _, hit = _flat_bilinear(flat, base, wv, Ku2c, Kv2c)
+    hit = hit.reshape(N, F, 8, 3)
+
+    resp = hit[..., 0] - (a_rel[..., None] * pt_color[:, None, :]
+                          + b_rel[..., None])
+    wgrad = jnp.sqrt(2500.0 / (2500.0 + hit[..., 1] ** 2
+                               + hit[..., 2] ** 2))
+    wpat = 0.5 * (wgrad + pt_weights[:, None, :])
+    absr = jnp.abs(resp)
+    hwp = jnp.where(absr < huber_th, 1.0,
+                    huber_th / jnp.maximum(absr, 1e-12))
+    e_pat = jnp.where(pat_ok,
+                      wpat * wpat * hwp * resp * resp * (2.0 - hwp), 0.0)
+    energy_phot = e_pat.sum(-1)
+    hws = jnp.where(hwp < 1.0, jnp.sqrt(hwp), hwp) * wpat
+    wJI2 = jnp.where(pat_ok,
+                     (hws * hit[..., 1]) ** 2 + (hws * hit[..., 2]) ** 2,
+                     0.0).sum(-1)
+    return energy_phot, wJI2
+
+
 @partial(jax.jit, static_argnames=("w", "h"))
 def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
                         res_active, res_state, matcher_px, matcher_valid,
@@ -193,50 +252,9 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     # a coarse outlier test and the pose moves sub-pixel within one LM, so
     # the gated set is stable (PARITY.md).
     if gate is None:
-        KRKi = pairs["KRKi"][pair_idx]
-        Kt = pairs["Kt"][pair_idx]
-        a_rel = pairs["aff_a"][pair_idx]
-        b_rel = pairs["aff_b"][pair_idx]
-
-        pat = jnp.asarray(PATTERN_P, jnp.float32)
-        up = pt_u[:, None] + pat[:, 0]                             # (N, 8)
-        vp = pt_v[:, None] + pat[:, 1]
-        pix = jnp.stack([up, vp, jnp.ones_like(up)], -1)           # (N, 8, 3)
-        ptp2 = jnp.einsum("nfij,npj->nfpi", KRKi, pix) + \
-            (Kt * pt_idepth[:, None, None])[:, :, None, :]
-        Ku2 = ptp2[..., 0] / ptp2[..., 2]
-        Kv2 = ptp2[..., 1] / ptp2[..., 2]
-        pat_ok = (Ku2 > 1.1) & (Kv2 > 1.1) & (Ku2 < w - 3) & (Kv2 < h - 3)
-        # the reference `break`s at the first failed pattern point: emulate
-        # with a cumulative-AND along the pattern axis
-        pat_ok = jnp.cumprod(pat_ok.astype(jnp.int8), axis=-1).astype(bool)
-
-        from sdv_loam_tpu.ops.align import _flat_bilinear
-        hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
-        flat = dI0_stack.reshape(-1, 3)
-        base = (jnp.arange(F) * hw_img)[None, :, None]
-        base = jnp.broadcast_to(base, (N, F, 1)).reshape(N * F, 1)
-        wv = jnp.full((N * F, 1), dI0_stack.shape[2], jnp.int32)
-        Ku2c = jnp.clip(Ku2, 0.0, dI0_stack.shape[2] - 1.01).reshape(N * F, 8)
-        Kv2c = jnp.clip(Kv2, 0.0, dI0_stack.shape[1] - 1.01).reshape(N * F, 8)
-        _, hit = _flat_bilinear(flat, base, wv, Ku2c, Kv2c)
-        hit = hit.reshape(N, F, 8, 3)
-
-        resp = hit[..., 0] - (a_rel[..., None] * pt_color[:, None, :]
-                              + b_rel[..., None])
-        wgrad = jnp.sqrt(2500.0 / (2500.0 + hit[..., 1] ** 2
-                                   + hit[..., 2] ** 2))
-        wpat = 0.5 * (wgrad + pt_weights[:, None, :])
-        absr = jnp.abs(resp)
-        hwp = jnp.where(absr < huber_th, 1.0,
-                        huber_th / jnp.maximum(absr, 1e-12))
-        e_pat = jnp.where(pat_ok,
-                          wpat * wpat * hwp * resp * resp * (2.0 - hwp), 0.0)
-        energy_phot = e_pat.sum(-1)
-        hws = jnp.where(hwp < 1.0, jnp.sqrt(hwp), hwp) * wpat
-        wJI2 = jnp.where(pat_ok,
-                         (hws * hit[..., 1]) ** 2 + (hws * hit[..., 2]) ** 2,
-                         0.0).sum(-1)
+        energy_phot, wJI2 = photometric_gate(
+            pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
+            pairs, dI0_stack, w=w, h=h, huber_th=huber_th)
     else:
         energy_phot, wJI2 = gate
 
@@ -826,7 +844,8 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
             res_active, res_state, matcher_px, matcher_valid,
             dI0_stack, max_iters, min_opt_iterations,
             th_opt_iterations, force_accept,
-            n_frames: int, w: int, h: int):
+            n_frames: int, w: int, h: int,
+            gate_refresh: bool = False):
     """The whole windowed LM (FullSystem::optimize) as ONE device program.
 
     All data-dependent control flow (accept/reject, lambda schedule,
@@ -834,6 +853,11 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
     newest-frame energy threshold) lives in a lax.while_loop — no host
     round-trips. `newest` and `max_iters` are traced, so one compilation
     covers every keyframe.
+
+    `gate_refresh=True` recomputes the photometric outlier gate at every
+    ACCEPTED state (the reference re-gates every linearizeAll,
+    Residuals.cpp:157-194; the default caches the initial gate for the
+    whole LM — see linearize_residuals).
 
     Returns (eps, calib, idepth, feth, T_cw_fej_out, new_state, center,
     Hdd, energy, rmse).
@@ -884,7 +908,8 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
         return (it < max_iters) & (~done)
 
     def body(c):
-        it, done, eps_, calib_, idepth_, feth_, lam, E_last, lin_, pairs_ = c
+        (it, done, eps_, calib_, idepth_, feth_, lam, E_last, lin_, pairs_,
+         gate_) = c
         c_delta = calib_ - calib_zero
         sys_ = build_system(lin_, pt_host, pt_is_sensor, pt_prior, pairs_,
                             eps_ * fvalid_f[:, None], c_delta, n_frames=F)
@@ -898,7 +923,7 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
         calib_n = calib_ + sol["dc"]
         idepth_n = jnp.where(pt_is_sensor, idepth_, idepth_ + sol["didepth"])
 
-        lin_n, pairs_n = linearize(eps_n, calib_n, idepth_n, feth_, gate0)
+        lin_n, pairs_n = linearize(eps_n, calib_n, idepth_n, feth_, gate_)
         feth_n = update_feth(lin_n, feth_)
         E_new = total_energy(lin_n, pairs_n, eps_n, calib_n)
 
@@ -918,12 +943,21 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
         E_last = jnp.where(accept, E_new, E_last)
         lam = jnp.where(accept, lam * 0.25, lam * 1e2)
         done = canbreak & (it >= min_opt_iterations)
-        return it + 1, done, eps_, calib_, idepth_, feth_, lam, E_last, \
-            lin_, pairs_
+        if gate_refresh:
+            # re-gate at the accepted state (one extra pattern-gather pass
+            # per accepted step, not per trial)
+            gate_ = jax.lax.cond(
+                accept,
+                lambda: photometric_gate(pt_u, pt_v, idepth_, pt_host,
+                                         pt_color, pt_weights, pairs_,
+                                         dI0_stack, w=w, h=h),
+                lambda: gate_)
+        return (it + 1, done, eps_, calib_, idepth_, feth_, lam, E_last,
+                lin_, pairs_, gate_)
 
     carry = (jnp.int32(0), jnp.bool_(False), eps, calib, pt_idepth, feth0,
-             jnp.float32(1e-1), E0, lin0, pairs0)
-    (_, _, eps_f, calib_f, idepth_f, feth_f, _, E_f, _, _) = \
+             jnp.float32(1e-1), E0, lin0, pairs0, gate0)
+    (_, _, eps_f, calib_f, idepth_f, feth_f, _, E_f, _, _, _) = \
         jax.lax.while_loop(cond, body, carry)
 
     # fix the newest frame's eval point, then final linearization
@@ -955,11 +989,13 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
     return out, lin_f, pairs_f
 
 
-@partial(jax.jit, static_argnames=("n_frames", "w", "h"))
-def ba_optimize_jit(*args, n_frames: int, w: int, h: int):
+@partial(jax.jit, static_argnames=("n_frames", "w", "h", "gate_refresh"))
+def ba_optimize_jit(*args, n_frames: int, w: int, h: int,
+                    gate_refresh: bool = False):
     """jit wrapper over ba_core (kept for direct callers/tests; kf_ops
     composes ba_core into the fused keyframe program)."""
-    out, _, _ = ba_core(*args, n_frames=n_frames, w=w, h=h)
+    out, _, _ = ba_core(*args, n_frames=n_frames, w=w, h=h,
+                        gate_refresh=gate_refresh)
     return out
 
 

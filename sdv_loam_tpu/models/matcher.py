@@ -126,16 +126,20 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         M = -(-n_cells // 8) * 8
         (cidx,) = jnp.nonzero(winner, size=M, fill_value=0)
         lane_valid = jnp.arange(M) < winner.sum()
+        overflow = jnp.int32(0)
     else:
         # every in-bounds point gets a lane (KF matcher refresh), compacted
         # to `cap` lanes: the valid-point count is far below the pool
         # capacity (N=4096 pool, ~2000-2500 live), and align cost scales
         # with lane count. Overflow (more in-bounds points than cap) drops
-        # the highest pool indices — they simply stay unmatched this KF.
+        # the highest pool indices — they stay unmatched this KF; the count
+        # is exported so callers can surface the truncation (telemetry +
+        # bench assert; silent starvation caused round 2's yaw-drift bug).
         cap = max(1, int(lane_cap_frac * N))
         cap = -(-cap // 8) * 8
         (cidx,) = jnp.nonzero(inb, size=cap, fill_value=0)
         lane_valid = jnp.arange(cap) < inb.sum()
+        overflow = jnp.maximum(inb.sum() - cap, 0).astype(jnp.int32)
 
     pw_c = pw[cidx]
     px_t_c = px_t[cidx]
@@ -204,7 +208,7 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         m_c, mode="drop")
     px_out = jnp.zeros((N, 2), px_c.dtype).at[
         jnp.where(m_c, cidx, N)].set(px_c, mode="drop")
-    return dict(matched=matched, px=px_out)
+    return dict(matched=matched, px=px_out, overflow=overflow)
 
 
 @partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell", "lane_cap_frac"))

@@ -856,12 +856,13 @@ class FullSystem:
             jnp.int32(s.min_good_res_for_marg),
             jnp.float32(s.min_idepth_h_marg),
             n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
-            levels=self.levels))
+            levels=self.levels, gate_refresh=s.ba_gate_refresh))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",
                      "num_good_res", "idepth_hessian", "res_active",
-                     "matcher_px", "matcher_valid", "center"]
+                     "matcher_px", "matcher_valid", "center",
+                     "match_overflow"]
         if s.log_stuff:
             pull_keys += ["H_final", "b_final", "nullspaces", "rmse"]
         small = yield {k: out[k] for k in pull_keys}
@@ -874,6 +875,12 @@ class FullSystem:
             print("KF Tracking failed: LOST!")
             self.is_lost = True
             return
+
+        # surface matcher lane-cap truncation (silent starvation caused
+        # round 2's yaw-drift bug; bench asserts these stay zero)
+        ovf = np.asarray(small["match_overflow"])
+        self.telemetry.counters["match_overflow_p1"] += int(ovf[0])
+        self.telemetry.counters["match_overflow_p2"] += int(ovf[1])
 
         # window state
         self.T_cw_fej = np.array(small["T_cw_fej"], np.float64)

@@ -120,7 +120,8 @@ def activate_full(
 
 
 @partial(jax.jit, static_argnames=("n_frames", "w", "h", "max_level",
-                                   "levels", "track_ref_cap"))
+                                   "levels", "track_ref_cap",
+                                   "gate_refresh"))
 def kf_opt_step(
         # window state
         T_cw_fej, eps, calib, calib_zero, frame_valid, frame_prior, c_prior,
@@ -141,7 +142,7 @@ def kf_opt_step(
         prior_marg, marg_weight_fac, min_good_active_res_for_marg,
         min_good_res_for_marg, min_idepth_h_marg,
         n_frames: int, w: int, h: int, max_level: int, levels: int,
-        track_ref_cap: int = 16384):
+        track_ref_cap: int = 16384, gate_refresh: bool = False):
     """The whole post-activation keyframe tail as ONE device program:
 
       matcher refresh (backprojectMap passes, FullSystem.cpp:1105-1131)
@@ -198,7 +199,10 @@ def kf_opt_step(
         T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
         heights, T_wc, aff, exposure, calib, ref_idx_multi,
         w=w, h=h, max_level=max_level, per_cell=False,
-        lane_cap_frac=0.25)    # newest-host points: one KF's activations
+        # newest-host points: sized to the ACTIVATION cap (a_cap = M = N/2),
+        # not a guess — an activation burst over the lane count silently
+        # starved residuals at 0.25 (ADVICE r2)
+        lane_cap_frac=0.5)
     mm = multi["matched"].swapaxes(0, 1) & nf[:, None] \
         & multi_target_mask[None, :]                       # (N, F)
     mpx = multi["px"].swapaxes(0, 1)                       # (N, F, 2)
@@ -215,7 +219,7 @@ def kf_opt_step(
         pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights, pt_is_sensor,
         pt_prior, res_active_v, res_state, matcher_px, matcher_valid,
         dI0_stack, max_iters, min_opt_iterations, th_opt_iterations,
-        force_accept, n_frames=F, w=w, h=h)
+        force_accept, n_frames=F, w=w, h=h, gate_refresh=gate_refresh)
     new_state = out["new_state"]
     idepth_f = out["idepth"]
     Hdd_f = out["Hdd"]
@@ -307,6 +311,9 @@ def kf_opt_step(
         eps=out["eps"], calib=out["calib"], T_cw_fej=out["T_cw_fej"],
         feth=out["feth"], energy=out["energy"], rmse=out["rmse"],
         HM=HM3, bM=bM3, stats_out=stats_out,
+        # matcher lane-cap truncation counts: [pass1, worst pass-2 target]
+        match_overflow=jnp.stack([fresh["overflow"],
+                                  multi["overflow"].max()]),
         # pool state
         idepth=idepth_f, new_state=new_state, pt_valid=pt_valid4,
         center=centers,

@@ -1,0 +1,94 @@
+"""Long-horizon drift bisection driver (round-3 gate, VERDICT item 1).
+
+Runs the straight KITTI-scale scene with host-side ablations selected via
+ABLATE (comma-separated):
+  noba     - max_opt_iterations forced to 0 (poses purely from tracking;
+             iters is a traced arg so no recompile)
+  nohm     - zero HM/bM after every frame (no marginalization prior)
+  feth     - reset fe_th to its initial value after every frame (kills the
+             cross-KF threshold ratchet; the within-KF update still runs)
+  aff      - pin all affine states to zero every frame
+  fmargonly- like nohm but BEFORE the KF uses it?? (not implemented)
+Platform: SDV_PLAT=cpu forces CPU; default uses the default backend (TPU
+under axon). Frames via N_FRAMES (default 200).
+
+Per-KF diagnostics: ATE so far, BA-vs-tracked pose correction of the newest
+frame, residual counts, feth, affine a, matcher stats.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+if os.environ.get("SDV_PLAT"):
+    jax.config.update('jax_platforms', os.environ["SDV_PLAT"])
+import numpy as np
+import time
+from sdv_loam_tpu.config import Settings
+from sdv_loam_tpu.data.synthetic import make_sequence
+from sdv_loam_tpu.system.full_system import FullSystem
+from sdv_loam_tpu.eval.ate import ate_rmse
+
+ablate = set(filter(None, os.environ.get("ABLATE", "").split(",")))
+n = int(os.environ.get("N_FRAMES", "200"))
+seq = make_sequence(n_frames=n, w=1200, h=360, fx=718.856, step=0.8,
+                    yaw_rate=0.0, lidar_stride=2, half_width=14.0)
+
+# disk-cache the rendered frames so ablation runs share one raycast pass
+_cache = f"/tmp/drift_seq_{n}.npz"
+if os.path.exists(_cache):
+    _z = np.load(_cache, allow_pickle=True)
+    _frames = [(_z[f"img{i}"], _z[f"cld{i}"], float(_z["ts"][i]))
+               for i in range(n)]
+    print(f"loaded {n} cached frames", flush=True)
+else:
+    _frames = [seq.get(i) for i in range(n)]
+    np.savez(_cache, ts=np.array([f[2] for f in _frames]),
+             **{f"img{i}": _frames[i][0] for i in range(n)},
+             **{f"cld{i}": _frames[i][1] for i in range(n)})
+    print(f"generated+cached {n} frames", flush=True)
+seq.get = lambda i: _frames[i]
+s = Settings()
+if "noba" in ablate:
+    s.max_opt_iterations = 0
+if "gate" in ablate:
+    s.ba_gate_refresh = True
+if "forceacc" in ablate:
+    s.force_accept_step = True
+fs = FullSystem(seq.calib, seq.sensor, s)
+# NOTE: with noba the first 2-3 KFs still run BA (the window<3/<4 iteration
+# boost is hardcoded in _kf_opt_steps) — fine for bisection, drift is later.
+feth0 = fs.fe_th.copy()
+t0 = time.time()
+prev_kf_count = 0
+for i in range(n):
+    img, cloud, ts = seq.get(i)
+    fs.add_active_frame(img, cloud, ts)
+    if "nohm" in ablate:
+        fs.HM[:] = 0; fs.bM[:] = 0
+    if "feth" in ablate:
+        fs.fe_th[:] = feth0
+    if "aff" in ablate:
+        fs.aff[:] = 0
+        fs.track_ref_aff[:] = 0
+        for sh in fs.shells[-2:]:
+            sh["aff"][:] = 0
+    if fs.is_lost:
+        print("LOST", i, flush=True); break
+    new_kf = len(fs.kf_shells) > prev_kf_count
+    prev_kf_count = len(fs.kf_shells)
+    if new_kf and i > 1:
+        sh = fs.shells[-1]
+        d = np.linalg.inv(sh["T_wc_tracked"]) @ sh["T_wc"]
+        dt_ba = np.linalg.norm(d[:3, 3])
+        est = fs.get_trajectory(); gt = seq.poses_wc[:len(est)]
+        m = fs.pt_valid
+        used = np.array(fs.order)
+        print(f"f{i:3d} kf{len(fs.kf_shells):3d}: ate {ate_rmse(est, gt):8.3f}"
+              f" ba|dt| {dt_ba:7.4f} act {m.sum():4d}"
+              f" res/pt {fs.res_active[m].sum(1).mean():4.2f}"
+              f" feth {fs.fe_th[used[-1]]:7.1f}"
+              f" aff_a {fs.aff[used[-1], 0]:6.3f}"
+              f" |HM| {np.abs(fs.HM).max():9.2e}"
+              f" t {time.time()-t0:6.1f}s", flush=True)
+est = fs.get_trajectory(); gt = seq.poses_wc[:len(est)]
+print(f"FINAL ate {ate_rmse(est, gt):.3f} over {len(est)} frames "
+      f"({time.time()-t0:.0f}s) ablate={sorted(ablate)}", flush=True)
