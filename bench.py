@@ -99,10 +99,19 @@ def main():
         hist = np.stack(fs.track_iters_hist[warmup_frames:])
         print(f"[bench] track LM iters/level mean={hist.mean(0).round(1)} "
               f"max={hist.max(0)}", file=sys.stderr)
+    ovf = dict(fs.telemetry.counters)
     del fs  # free device buffers before the fleet run
 
+    kf_rate = n_kf / max(len(est), 1)
+    print(f"[bench] kf_rate {kf_rate:.2f}, matcher overflow {ovf}",
+          file=sys.stderr)
+    if any(v for k, v in ovf.items() if k.startswith("match_overflow")):
+        print("[bench] WARNING: matcher lane-cap overflow — residual graph "
+              "silently truncated (see models/matcher.py)", file=sys.stderr)
     extra = {"ate_m": round(float(ate), 4), "n_frames": n_timed,
-             "n_keyframes": n_kf, "lost": lost,
+             "n_keyframes": n_kf, "lost": lost, "kf_rate": round(kf_rate, 3),
+             "match_overflow": sum(
+                 v for k, v in ovf.items() if k.startswith("match_overflow")),
              "fps_single_seq": round(fps_single, 3)}
 
     if os.environ.get("SDV_BENCH_SINGLE"):

@@ -91,6 +91,11 @@ class Settings:
     # linearizeAll; False caches the initial gate for the whole LM — the
     # fast path, see models/backend.linearize_residuals)
     ba_gate_refresh: bool = False
+    # measure the BA's 2-D residual at the FEJ pair pose (reference-exact,
+    # Residuals.cpp:93-96; see models/backend.linearize_residuals). False =
+    # consistent Gauss-Newton at the current pose — diverges long-horizon
+    # (matcher feedback loop, tools/drift_bisect.py findings).
+    ba_resf_at_fej: bool = True
 
     # --- activation / marginalization (settings.cpp:41-49) ---
     min_idepth_h_act: float = 100.0

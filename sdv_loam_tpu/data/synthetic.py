@@ -65,15 +65,31 @@ def _texture(u, v, seed, footprint=0.0):
     # give scale-invariant detail (image-plane gradients of tens of intensity
     # units per pixel at driving depths, like real road scenes); the Gaussian
     # aperture keeps whatever exceeds the local Nyquist out of the render.
-    total = 0.0
+    #
+    # Components are RANDOMLY ORIENTED plane waves (3 per octave), not
+    # separable sin(u)*cos(v) lattices: a separable sum is quasi-periodic
+    # along the driving axis and produced photometric-aliasing traps —
+    # measured long-run tracking locked onto a self-similar offset at
+    # ~2.2x the true forward step (tools/drift_bisect.py round-3 logs), a
+    # failure mode real street texture does not offer. An oriented sum is
+    # an aperiodic Gaussian-like random field with weak autocorrelation
+    # side-lobes.
+    var = 0.0
     for k in range(12):
-        fu, fv = rng.uniform(0.4, 1.1, 2) * (1.7 ** k) * 0.1
-        pu, pv = rng.uniform(0, 2 * np.pi, 2)
         amp = 1.0 / (1.08 ** k)
-        att = np.exp(-0.5 * (fu * fu + fv * fv) * s2)
-        out = out + (amp * att) * np.sin(fu * u + pu) * np.cos(fv * v + pv)
-        total += amp
-    out = out / (0.4 * total)
+        for _ in range(5):
+            r = rng.uniform(0.4, 1.1) * (1.7 ** k) * 0.1
+            th = rng.uniform(0, 2 * np.pi)
+            ph = rng.uniform(0, 2 * np.pi)
+            att = np.exp(-0.5 * r * r * s2)
+            out = out + (amp * att) * np.sin(
+                r * np.cos(th) * u + r * np.sin(th) * v + ph)
+            var += amp * amp * 0.5
+    # normalize the UNattenuated std to the previous generator's ~0.37 so
+    # absolute contrast/gradient statistics (selection thresholds, huber
+    # scales) carry over; attenuated (distant) areas keep genuinely lower
+    # contrast — the analytic mip behavior
+    out = out * (0.373 / np.sqrt(var))
     return np.clip(127.0 + 110.0 * out, 10.0, 245.0)
 
 

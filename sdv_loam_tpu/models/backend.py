@@ -162,12 +162,12 @@ def photometric_gate(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     return energy_phot, wJI2
 
 
-@partial(jax.jit, static_argnames=("w", "h"))
+@partial(jax.jit, static_argnames=("w", "h", "resf_at_fej"))
 def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
                         res_active, res_state, matcher_px, matcher_valid,
                         pairs, dI0_stack, frame_energy_th, K,
                         w: int, h: int, huber_th: float = 6.0,
-                        gate=None):
+                        gate=None, resf_at_fej: bool = True):
     """Linearize the dense (N, F) residual grid.
 
     Args:
@@ -182,6 +182,22 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     Returns dict: resF (N,F,2), Jxi (N,F,2,6), Jc (N,F,2,4), Jd (N,F,2),
       new_state, energy (2-D huber energy per residual),
       energy_phot (outlier-gate energy), center (N,F,3) = (Ku,Kv,new_idepth).
+
+    `resf_at_fej` (default, reference-exact): the measured residual is the
+    center pixel projected with the FEJ pair transform and idepth_zero ==
+    current idepth (Residuals.cpp:93-96 projects with PRE_RTll_0 and
+    idepth_zero_scaled) — POSE-INVARIANT within one window LM. The BA is
+    then a damped quasi-Newton pull anchored at each frame's tracked
+    insertion pose, with step acceptance governed by the prior/marg
+    energies (FullSystemOptimize.cpp:435-444), exactly like the reference.
+    `resf_at_fej=False` evaluates the residual at the CURRENT pose — a
+    self-consistent Gauss-Newton on the matcher cost. Measured long-horizon
+    (tools/drift_bisect.py, 200 straight KITTI-scale frames): the
+    consistent mode closes a positive feedback loop through the matcher
+    (whose targets are re-seeded from the current estimate each KF) and
+    diverges — ATE 62 m @200 with BA-vs-tracked corrections growing to
+    3.5 m/KF — while the reference anchoring keeps the matcher pull
+    one-shot per insertion.
     """
     huber_th = jnp.float32(huber_th)
     N = pt_u.shape[0]
@@ -198,25 +214,33 @@ def linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     KliP = jnp.stack([(pt_u - cx) * fxi, (pt_v - cy) * fyi,
                       jnp.ones_like(pt_u)], -1)                   # (N, 3)
 
-    # --- center projection at the CURRENT pose (the measured residual;
-    # DSO evaluates residuals at the current state, Jacobians at FEJ) ---
-    ptc = jnp.einsum("nfij,nj->nfi", Rc, KliP) + \
-        tc * pt_idepth[:, None, None]
-    drescale_c = 1.0 / ptc[..., 2]
-    new_idepth = pt_idepth[:, None] * drescale_c
-    Ku = ptc[..., 0] * drescale_c * fx + cx
-    Kv = ptc[..., 1] * drescale_c * fy + cy
-    proj_ok_c = (drescale_c > 0) & (Ku > 1.1) & (Kv > 1.1) & \
-        (Ku < w - 3) & (Kv < h - 3)
-
-    # --- FEJ projection: Jacobian evaluation point (Residuals.cpp:93-96) ---
+    # --- FEJ projection: Jacobian evaluation point AND (default) the
+    # measured residual's center pixel (Residuals.cpp:93-96) ---
     ptp = jnp.einsum("nfij,nj->nfi", R0, KliP) + \
         t0 * pt_idepth[:, None, None]
     drescale = 1.0 / ptp[..., 2]
     new_idepth0 = pt_idepth[:, None] * drescale
     u = ptp[..., 0] * drescale
     v = ptp[..., 1] * drescale
-    proj_ok = proj_ok_c & (drescale > 0)
+    Ku0 = u * fx + cx
+    Kv0 = v * fy + cy
+    proj_ok_fej = (drescale > 0) & (Ku0 > 1.1) & (Kv0 > 1.1) & \
+        (Ku0 < w - 3) & (Kv0 < h - 3)
+
+    if resf_at_fej:
+        Ku, Kv = Ku0, Kv0
+        new_idepth = new_idepth0
+        proj_ok = proj_ok_fej
+    else:
+        # center projection at the CURRENT pose (consistent-GN variant)
+        ptc = jnp.einsum("nfij,nj->nfi", Rc, KliP) + \
+            tc * pt_idepth[:, None, None]
+        drescale_c = 1.0 / ptc[..., 2]
+        new_idepth = pt_idepth[:, None] * drescale_c
+        Ku = ptc[..., 0] * drescale_c * fx + cx
+        Kv = ptc[..., 1] * drescale_c * fy + cy
+        proj_ok = (drescale_c > 0) & (Ku > 1.1) & (Kv > 1.1) & \
+            (Ku < w - 3) & (Kv < h - 3) & (drescale > 0)
 
     oob = (~proj_ok) | (~matcher_valid) | (res_state == RES_OOB) | (~res_active)
 
@@ -729,23 +753,27 @@ def ba_optimize(win, settings, max_iters: int):
         return make_pairs(T_cw, win["T_cw_fej"], win["aff"], win["exposure"],
                           K), T_cw
 
+    resf_at_fej = getattr(settings, "ba_resf_at_fej", True)
+
     def linearize(eps_, calib_, idepth_, feth, gate=None):
         pairs, T_cw = current_pairs(eps_, calib_)
         lin = linearize_residuals(
             win["pt_u"], win["pt_v"], idepth_, win["pt_host"],
             win["pt_color"], win["pt_weights"], win["res_active"],
             win["res_state"], win["matcher_px"], win["matcher_valid"],
-            pairs, win["dI0_stack"], feth, calib_, w=w, h=h, gate=gate)
+            pairs, win["dI0_stack"], feth, calib_, w=w, h=h, gate=gate,
+            resf_at_fej=resf_at_fej)
         return lin, pairs, T_cw
 
     feth = win["frame_energy_th"]
 
     def total_energy(lin, pairs_, eps_, calib_):
+        # the reference's accept energy sums linearize()'s 2-D energy over
+        # ALL non-OOB residuals, outliers included (linearizeAll stats[0],
+        # FullSystemOptimize.cpp:23-61) — lin["energy"] has exactly that
         c_delta = calib_ - win["calib_zero"]
         dstt = stitched_delta(c_delta, eps_, win["frame_valid"])
-        resA = jnp.where((lin["new_state"] == RES_IN)[..., None],
-                         lin["resF"], 0.0)
-        e_a = jnp.sum(resA * resA)
+        e_a = jnp.sum(lin["energy"])
         e_m = marg_energy(win["HM"], win["bM"], dstt)
         e_p = prior_energy(win["c_prior"], c_delta, win["frame_prior"],
                            eps_ * win["frame_valid"][:, None])
@@ -825,7 +853,8 @@ def ba_optimize(win, settings, max_iters: int):
         win["pt_u"], win["pt_v"], idepth, win["pt_host"],
         win["pt_color"], win["pt_weights"], win["res_active"],
         win["res_state"], win["matcher_px"], win["matcher_valid"],
-        pairs_f, win["dI0_stack"], feth, calib, w=w, h=h)
+        pairs_f, win["dI0_stack"], feth, calib, w=w, h=h,
+        resf_at_fej=resf_at_fej)
     win_out["res_state"] = lin_final["new_state"]
     rmse = float(jnp.sqrt(jnp.sum(lin_final["energy"])
                           / jnp.maximum(jnp.sum(lin_final["new_state"]
@@ -845,7 +874,7 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
             dI0_stack, max_iters, min_opt_iterations,
             th_opt_iterations, force_accept,
             n_frames: int, w: int, h: int,
-            gate_refresh: bool = False):
+            gate_refresh: bool = False, resf_at_fej: bool = True):
     """The whole windowed LM (FullSystem::optimize) as ONE device program.
 
     All data-dependent control flow (accept/reject, lambda schedule,
@@ -871,7 +900,8 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
         lin = linearize_residuals(
             pt_u, pt_v, idepth_, pt_host, pt_color, pt_weights,
             res_active, res_state, matcher_px, matcher_valid,
-            pairs, dI0_stack, feth_, calib_, w=w, h=h, gate=gate)
+            pairs, dI0_stack, feth_, calib_, w=w, h=h, gate=gate,
+            resf_at_fej=resf_at_fej)
         return lin, pairs
 
     def update_feth(lin, feth_):
@@ -880,13 +910,12 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
             frame_energy_quantile(lin["energy_phot"][:, newest], mask))
 
     def total_energy(lin, pairs_, eps_, calib_):
-        # residuals are measured at the current state (DSO scheme), so the
-        # active energy is their plain weighted square sum
+        # reference accept energy: linearize()'s 2-D energy over ALL
+        # non-OOB residuals, outliers included (linearizeAll stats[0]) —
+        # lin["energy"] carries exactly that mask
         c_delta = calib_ - calib_zero
         dstt = stitched_delta(c_delta, eps_, frame_valid)
-        resA = jnp.where((lin["new_state"] == RES_IN)[..., None],
-                         lin["resF"], 0.0)
-        return (jnp.sum(resA * resA) + marg_energy(HM, bM, dstt)
+        return (jnp.sum(lin["energy"]) + marg_energy(HM, bM, dstt)
                 + prior_energy(c_prior, c_delta, frame_prior,
                                eps_ * fvalid_f[:, None]))
 
@@ -970,7 +999,7 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
     lin_f = linearize_residuals(
         pt_u, pt_v, idepth_f, pt_host, pt_color, pt_weights, res_active,
         res_state, matcher_px, matcher_valid, pairs_f, dI0_stack, feth_f,
-        calib_f, w=w, h=h)
+        calib_f, w=w, h=h, resf_at_fej=resf_at_fej)
     sys_f = build_system(lin_f, pt_host, pt_is_sensor, pt_prior, pairs_f,
                          eps_out * fvalid_f[:, None], calib_f - calib_zero,
                          n_frames=F)
@@ -989,24 +1018,26 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
     return out, lin_f, pairs_f
 
 
-@partial(jax.jit, static_argnames=("n_frames", "w", "h", "gate_refresh"))
+@partial(jax.jit, static_argnames=("n_frames", "w", "h", "gate_refresh",
+                                   "resf_at_fej"))
 def ba_optimize_jit(*args, n_frames: int, w: int, h: int,
-                    gate_refresh: bool = False):
+                    gate_refresh: bool = False, resf_at_fej: bool = True):
     """jit wrapper over ba_core (kept for direct callers/tests; kf_ops
     composes ba_core into the fused keyframe program)."""
     out, _, _ = ba_core(*args, n_frames=n_frames, w=w, h=h,
-                        gate_refresh=gate_refresh)
+                        gate_refresh=gate_refresh, resf_at_fej=resf_at_fej)
     return out
 
 
-@partial(jax.jit, static_argnames=("n_frames", "w", "h"))
+@partial(jax.jit, static_argnames=("n_frames", "w", "h", "resf_at_fej"))
 def marginalize_points_full(T_cw_fej, eps, calib, frame_valid, aff, exposure,
                             pt_u, pt_v, pt_idepth, pt_host, pt_color,
                             pt_weights, pt_is_sensor, pt_prior_marg,
                             marg_mask, res_active, res_state, matcher_px,
                             matcher_valid, dI0_stack, frame_energy_th,
                             n_frames: int, w: int, h: int,
-                            marg_weight_fac: float = 0.25):
+                            marg_weight_fac: float = 0.25,
+                            resf_at_fej: bool = True):
     """One-dispatch point marginalization: linearize at the current state and
     fold flagged points into (dHM, dbM) (flagPointsForRemoval relinearize +
     marginalizePointsF)."""
@@ -1016,7 +1047,8 @@ def marginalize_points_full(T_cw_fej, eps, calib, frame_valid, aff, exposure,
     lin = linearize_residuals(pt_u, pt_v, pt_idepth, pt_host, pt_color,
                               pt_weights, res_active, res_state, matcher_px,
                               matcher_valid, pairs, dI0_stack,
-                              frame_energy_th, calib, w=w, h=h)
+                              frame_energy_th, calib, w=w, h=h,
+                              resf_at_fej=resf_at_fej)
     return marginalize_points(lin, pt_host, pt_is_sensor, pt_prior_marg,
                               marg_mask, eps * fvalid[:, None],
                               jnp.zeros(4, calib.dtype), pairs,

@@ -856,7 +856,8 @@ class FullSystem:
             jnp.int32(s.min_good_res_for_marg),
             jnp.float32(s.min_idepth_h_marg),
             n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
-            levels=self.levels, gate_refresh=s.ba_gate_refresh))
+            levels=self.levels, gate_refresh=s.ba_gate_refresh,
+            resf_at_fej=s.ba_resf_at_fej))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",

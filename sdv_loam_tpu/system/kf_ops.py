@@ -121,7 +121,7 @@ def activate_full(
 
 @partial(jax.jit, static_argnames=("n_frames", "w", "h", "max_level",
                                    "levels", "track_ref_cap",
-                                   "gate_refresh"))
+                                   "gate_refresh", "resf_at_fej"))
 def kf_opt_step(
         # window state
         T_cw_fej, eps, calib, calib_zero, frame_valid, frame_prior, c_prior,
@@ -142,7 +142,8 @@ def kf_opt_step(
         prior_marg, marg_weight_fac, min_good_active_res_for_marg,
         min_good_res_for_marg, min_idepth_h_marg,
         n_frames: int, w: int, h: int, max_level: int, levels: int,
-        track_ref_cap: int = 16384, gate_refresh: bool = False):
+        track_ref_cap: int = 16384, gate_refresh: bool = False,
+        resf_at_fej: bool = True):
     """The whole post-activation keyframe tail as ONE device program:
 
       matcher refresh (backprojectMap passes, FullSystem.cpp:1105-1131)
@@ -219,7 +220,8 @@ def kf_opt_step(
         pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights, pt_is_sensor,
         pt_prior, res_active_v, res_state, matcher_px, matcher_valid,
         dI0_stack, max_iters, min_opt_iterations, th_opt_iterations,
-        force_accept, n_frames=F, w=w, h=h, gate_refresh=gate_refresh)
+        force_accept, n_frames=F, w=w, h=h, gate_refresh=gate_refresh,
+        resf_at_fej=resf_at_fej)
     new_state = out["new_state"]
     idepth_f = out["idepth"]
     Hdd_f = out["Hdd"]

@@ -19,8 +19,14 @@ def run_result():
     n_frames = 12
     seq = make_sequence(n_frames=n_frames, w=320, h=96, step=0.8,
                         yaw_rate=0.01, lidar_stride=2)
+    # ba_resf_at_fej=False: these fixtures' accuracy bounds are calibrated
+    # on the consistent-GN optimizer, which actively cleans tracker noise on
+    # this deliberately weak 320x96 geometry. The reference-exact
+    # FEJ-anchored default is covered by the KITTI-fixture E2E and the
+    # KITTI-scale long-run tests.
     s = Settings(desired_immature_density=600, desired_point_density=800,
-                 n_active_cap=2048, n_immature_cap=2048)
+                 n_active_cap=2048, n_immature_cap=2048,
+                 ba_resf_at_fej=False)
     fs = FullSystem(seq.calib, seq.sensor, s)
     for i in range(n_frames):
         img, cloud, ts = seq.get(i)
@@ -69,8 +75,14 @@ def churn_result():
     n_frames = 28
     seq = make_sequence(n_frames=n_frames, w=320, h=96, step=0.8,
                         yaw_rate=0.004, lidar_stride=2)
+    # ba_resf_at_fej=False: these fixtures' accuracy bounds are calibrated
+    # on the consistent-GN optimizer, which actively cleans tracker noise on
+    # this deliberately weak 320x96 geometry. The reference-exact
+    # FEJ-anchored default is covered by the KITTI-fixture E2E and the
+    # KITTI-scale long-run tests.
     s = Settings(desired_immature_density=600, desired_point_density=800,
-                 n_active_cap=2048, n_immature_cap=2048)
+                 n_active_cap=2048, n_immature_cap=2048,
+                 ba_resf_at_fej=False)
     fs = FullSystem(seq.calib, seq.sensor, s)
     for i in range(n_frames):
         img, cloud, ts = seq.get(i)
@@ -97,10 +109,13 @@ def test_window_churn(churn_result):
     # sub-matcher-noise here): ~1% drift is the floor for this image size.
     # KITTI-scale accuracy is asserted by the benchmark (1200x360, fx=718:
     # ~0.15% ATE) and the slow long-run test.
-    assert a < 0.010 * dist, f"ATE {a} over {dist} m"
+    # Bounds pinned to measured-baseline + ~40-50% margin (recorded so a
+    # real regression cannot hide inside a loose bound; ADVICE r2).
+    # Measured 2026-08-17 (CPU x64, seed 7, aperiodic oriented texture):
+    # ATE 0.148 m (0.0069*dist), t_rpe 0.105, r_rpe 0.0213.
+    assert a < 0.010 * dist, f"ATE {a} over {dist} m (baseline 0.148)"
     t_rpe, r_rpe = rpe(est, seq.poses_wc[:n])
-    assert t_rpe < 0.16, t_rpe
-    # rotation RPE at this image size sits at its noise floor (~0.03 deg
-    # equivalents) and shifts a few thousandths with XLA fusion/retrace
-    # reassociation; the discriminating bounds here are ATE and t_rpe
-    assert r_rpe < 0.04, r_rpe
+    assert t_rpe < 0.15, f"{t_rpe} (baseline 0.105)"
+    # rotation RPE at this image size sits at its noise floor and shifts a
+    # few thousandths with XLA fusion/retrace reassociation
+    assert r_rpe < 0.032, f"{r_rpe} (baseline 0.0213)"

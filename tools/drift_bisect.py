@@ -46,13 +46,14 @@ else:
              **{f"cld{i}": _frames[i][1] for i in range(n)})
     print(f"generated+cached {n} frames", flush=True)
 seq.get = lambda i: _frames[i]
-s = Settings()
+_kw = {}
 if "noba" in ablate:
-    s.max_opt_iterations = 0
+    _kw["max_opt_iterations"] = 0
 if "gate" in ablate:
-    s.ba_gate_refresh = True
+    _kw["ba_gate_refresh"] = True
 if "forceacc" in ablate:
-    s.force_accept_step = True
+    _kw["force_accept_step"] = True
+s = Settings(**_kw)
 fs = FullSystem(seq.calib, seq.sensor, s)
 # NOTE: with noba the first 2-3 KFs still run BA (the window<3/<4 iteration
 # boost is hardcoded in _kf_opt_steps) — fine for bisection, drift is later.
@@ -79,11 +80,22 @@ for i in range(n):
         sh = fs.shells[-1]
         d = np.linalg.inv(sh["T_wc_tracked"]) @ sh["T_wc"]
         dt_ba = np.linalg.norm(d[:3, 3])
+        dxyz = d[:3, 3]  # BA-vs-tracked translation in the camera frame
+        # per-frame forward-step ratio vs GT (scale-drift indicator)
+        if len(fs.shells) >= 3:
+            est_step = np.linalg.norm(fs.shells[-1]["T_wc"][:3, 3]
+                                      - fs.shells[-2]["T_wc"][:3, 3])
+            gt_step = np.linalg.norm(seq.poses_wc[i][:3, 3]
+                                     - seq.poses_wc[i - 1][:3, 3])
+            step_ratio = est_step / max(gt_step, 1e-9)
+        else:
+            step_ratio = 1.0
         est = fs.get_trajectory(); gt = seq.poses_wc[:len(est)]
         m = fs.pt_valid
         used = np.array(fs.order)
         print(f"f{i:3d} kf{len(fs.kf_shells):3d}: ate {ate_rmse(est, gt):8.3f}"
-              f" ba|dt| {dt_ba:7.4f} act {m.sum():4d}"
+              f" ba_dxyz ({dxyz[0]:+7.4f},{dxyz[1]:+7.4f},{dxyz[2]:+7.4f})"
+              f" step/gt {step_ratio:6.4f} act {m.sum():4d}"
               f" res/pt {fs.res_active[m].sum(1).mean():4.2f}"
               f" feth {fs.fe_th[used[-1]]:7.1f}"
               f" aff_a {fs.aff[used[-1], 0]:6.3f}"
