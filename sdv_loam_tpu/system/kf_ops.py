@@ -328,3 +328,47 @@ def kf_opt_step(
         # device-resident consumers
         track_ref=track_ref,
     )
+
+
+POOL_FIELDS = ("u", "v", "idepth", "host", "color", "weights", "is_sensor",
+               "prior", "type", "quality")
+
+
+@jax.jit
+def commit_pool_kf(pool, slot, act_rows, act_valid, act_vals, act_res):
+    """Apply the between-keyframe host mutations to the DEVICE-resident
+    active-point pool in one dispatch (VERDICT r3 item 2: the keyframe
+    stage spent ~730 ms/KF re-staging ~40 full pool arrays over the tunnel;
+    with the pool device-resident only the new-activation rows travel).
+
+    Mutations covered (bit-equal to FullSystem's host bookkeeping):
+      1. residual insertion: every existing valid point gains an active
+         RES_IN residual toward the new `slot` (makeKeyFrame:1086-1100);
+      2. activation-row insert at `act_rows` (padded; `act_valid` lanes)
+         with field values `act_vals` (dict over POOL_FIELDS) and the
+         host-computed per-target residual rows `act_res` (R, F).
+
+    `pool`: dict of POOL_FIELDS + num_good_res, idepth_hessian, pt_valid,
+    res_active, res_state, res_is_new, matcher_px, matcher_valid.
+    """
+    N = pool["u"].shape[0]
+
+    # --- 1. residual insertion for existing points (before inserts) ---
+    ins = pool["pt_valid"] & (pool["host"] != slot)
+    res_active = pool["res_active"].at[:, slot].set(ins)
+    res_state = pool["res_state"].at[:, slot].set(backend.RES_IN)
+    res_is_new = jnp.zeros_like(pool["res_is_new"]).at[:, slot].set(ins)
+    matcher_valid = pool["matcher_valid"].at[:, slot].set(False)
+
+    # --- 2. activation-row inserts ---
+    rows = jnp.where(act_valid, act_rows, N)   # drop-mode sentinel
+    out = dict(pool)
+    for f in act_vals:
+        out[f] = pool[f].at[rows].set(act_vals[f], mode="drop")
+    out["num_good_res"] = pool["num_good_res"].at[rows].set(0, mode="drop")
+    out["pt_valid"] = pool["pt_valid"].at[rows].set(True, mode="drop")
+    out["res_active"] = res_active.at[rows].set(act_res, mode="drop")
+    out["res_is_new"] = res_is_new.at[rows].set(act_res, mode="drop")
+    out["res_state"] = res_state.at[rows].set(backend.RES_IN, mode="drop")
+    out["matcher_valid"] = matcher_valid.at[rows].set(False, mode="drop")
+    return out

@@ -93,9 +93,26 @@ for i in range(n):
         est = fs.get_trajectory(); gt = seq.poses_wc[:len(est)]
         m = fs.pt_valid
         used = np.array(fs.order)
+        # struct-pose correction of this frame (photometric -> final tracked)
+        dps = np.linalg.inv(sh.get("T_wc_photo", sh["T_wc_tracked"])) \
+            @ sh["T_wc_tracked"]
+        # track-ref depth-map health: level-0 pool count + median depth vs
+        # the GT median depth at the ref KF
+        p0 = jax.device_get({k: fs.track_ref[0][k]
+                             for k in ("idepth", "valid")}) \
+            if fs.track_ref is not None else None
+        if p0 is not None and p0["valid"].any():
+            zmed = float(np.median(1.0 / np.maximum(
+                p0["idepth"][p0["valid"]], 1e-9)))
+            nref = int(p0["valid"].sum())
+        else:
+            zmed, nref = -1.0, 0
         print(f"f{i:3d} kf{len(fs.kf_shells):3d}: ate {ate_rmse(est, gt):8.3f}"
               f" ba_dxyz ({dxyz[0]:+7.4f},{dxyz[1]:+7.4f},{dxyz[2]:+7.4f})"
-              f" step/gt {step_ratio:6.4f} act {m.sum():4d}"
+              f" step/gt {step_ratio:6.4f}"
+              f" sp_dz {dps[2, 3]:+7.4f} nm {sh.get('n_matched', -1):4d}"
+              f" ref[n {nref:5d} zmed {zmed:5.1f}]"
+              f" act {m.sum():4d}"
               f" res/pt {fs.res_active[m].sum(1).mean():4.2f}"
               f" feth {fs.fe_th[used[-1]]:7.1f}"
               f" aff_a {fs.aff[used[-1], 0]:6.3f}"
