@@ -168,7 +168,8 @@ class FullSystem:
         self.pot_state = {"pot": 3}
         self.ignore_kf = False
 
-        self._im_dev = None            # device-resident trace state cache
+        self._im_pool = None           # device-resident immature pool
+        self._trace_fresh = False      # pool holds unsynced trace output
         self._pt_dev = None            # device cache of track-step pool args
         self._kf_dev = None            # device-resident active pool mirror
         self._flat_stack = None        # (F, T, 3) flattened window pyramids
@@ -666,43 +667,43 @@ class FullSystem:
             a = np.exp(frame["shell"]["aff"][0] - self.aff[slot][0])
             affp[slot] = [a, frame["shell"]["aff"][1] - a * self.aff[slot][1]]
 
-        im = self.im
-        dev = self._im_dev
-        if dev is None:
-            dev = dict(
-                idepth_min=jnp.asarray(im["idepth_min"]),
-                idepth_max=jnp.asarray(im["idepth_max"]),
-                status=jnp.asarray(np.where(self.im_valid, im["status"],
-                                            trace_ops.IPS_OOB)),
-                quality=jnp.asarray(im["quality"]),
-                const=(jnp.asarray(im["u"]), jnp.asarray(im["v"]),
-                       jnp.asarray(im["color"]), jnp.asarray(im["weights"]),
-                       jnp.asarray(im["gradH"]),
-                       jnp.asarray(im["energy_th"]),
-                       jnp.asarray(im["host"])),
-            )
-        u_d, v_d, col_d, wgt_d, gH_d, eth_d, host_d = dev["const"]
+        pool = self._im_pool_dev()
         out = self._block(trace_ops.trace_points(
-            u_d, v_d, dev["idepth_min"], dev["idepth_max"], dev["status"],
-            dev["quality"], col_d, wgt_d, gH_d, eth_d, host_d,
+            pool["u"], pool["v"], pool["idepth_min"], pool["idepth_max"],
+            pool["status"], pool["quality"], pool["color"], pool["weights"],
+            pool["gradH"], pool["energy_th"], pool["host"],
             jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affp),
             frame["dI"][0], w=self.w, h=self.h,
             max_pix_search_frac=self.s.max_pix_search,
             huber_th=self.s.huber_th))
-        self._im_dev = dict(idepth_min=out["idepth_min"],
-                            idepth_max=out["idepth_max"],
-                            status=out["status"], quality=out["quality"],
-                            pixel_interval=out["pixel_interval"],
-                            const=dev["const"])
+        self._im_pool = dict(pool, idepth_min=out["idepth_min"],
+                             idepth_max=out["idepth_max"],
+                             status=out["status"], quality=out["quality"],
+                             pixel_interval=out["pixel_interval"])
+        self._trace_fresh = True
         if sync:
             self._sync_immature()
 
+    def _im_pool_dev(self):
+        """Device-resident immature pool (kf_ops.IM_FIELDS + im_valid),
+        built once from the host arrays, then chained through the trace /
+        new-trace-commit / activation programs. Invalid rows carry status
+        IPS_OOB on device so the chained trace programs skip them (the host
+        keeps its stale values; comparisons mask by im_valid)."""
+        if self._im_pool is None:
+            from sdv_loam_tpu.system.kf_ops import IM_FIELDS
+            p = {f: jnp.asarray(self.im[f]) for f in IM_FIELDS}
+            p["status"] = jnp.asarray(np.where(
+                self.im_valid, self.im["status"], trace_ops.IPS_OOB))
+            p["im_valid"] = jnp.asarray(self.im_valid)
+            self._im_pool = p
+        return self._im_pool
+
     def _sync_immature(self):
         """Pull the device-resident trace state back into the host pool."""
-        if self._im_dev is None or "pixel_interval" not in self._im_dev:
-            self._im_dev = None
+        if not self._trace_fresh or self._im_pool is None:
             return
-        out = jax.device_get({k: self._im_dev[k] for k in
+        out = jax.device_get({k: self._im_pool[k] for k in
                               ("idepth_min", "idepth_max", "status",
                                "quality", "pixel_interval")})
         self._apply_immature_sync(out)
@@ -710,14 +711,13 @@ class FullSystem:
     def _apply_immature_sync(self, out):
         """Apply already-pulled trace state to the host pool."""
         if out is None:
-            self._im_dev = None
             return
         im = self.im
         upd = self.im_valid & (~im["is_sensor"])
         for k in ("idepth_min", "idepth_max", "quality", "pixel_interval"):
             im[k][upd] = out[k][upd]
         im["status"][upd] = out["status"][upd]
-        self._im_dev = None
+        self._trace_fresh = False
 
     # ------------------------------------------------------------------
     # keyframe pipeline
@@ -762,11 +762,10 @@ class FullSystem:
         scal = yield dict(
             bbox=frame["scan"]["bbox_area"],
             add_feat=frame["scan"]["add_feature_point"],
-            trace={k: self._im_dev[k] for k in
+            trace={k: self._im_pool[k] for k in
                    ("idepth_min", "idepth_max", "status", "quality",
                     "pixel_interval")}
-            if self._im_dev is not None and "pixel_interval"
-            in self._im_dev else None)
+            if self._trace_fresh and self._im_pool is not None else None)
         self._apply_immature_sync(scal["trace"])
         frame["bbox_area"] = float(scal["bbox"])
         frame["add_feat"] = bool(scal["add_feat"])
@@ -805,7 +804,6 @@ class FullSystem:
         if self.is_lost:
             return
 
-        self._im_dev = None  # host pool mutated (new traces / activation)
         self._pt_dev = None
         self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
                                int(self.res_active.sum()),
@@ -981,12 +979,22 @@ class FullSystem:
 
         # shell updates for in-window frames (optimize():494-500)
         T_wc = np.linalg.inv(self.T_cw)
+        # diagnostics: how far this BA moved each window frame's shell
+        self.last_ba_window_deltas = {
+            int(self.frame_kf_id[sl]): float(np.linalg.norm(
+                T_wc[sl][:3, 3]
+                - self.shells[self.frame_shell_idx[sl]]["T_wc"][:3, 3]))
+            for sl in self.order}
         for sl in self.order:
             self.shells[self.frame_shell_idx[sl]]["T_wc"] = T_wc[sl]
             self.shells[self.frame_shell_idx[sl]]["aff"] = self.aff[sl]
 
         # frame-marginalization host bookkeeping (device already folded the
         # flagged slots into HM/bM and dropped their residuals/points)
+        if any(self.slot_flagged[x] for x in self.order):
+            from sdv_loam_tpu.system.kf_ops import im_clear_slots
+            self._im_pool = im_clear_slots(self._im_pool_dev(),
+                                           jnp.asarray(self.slot_flagged))
         for sl in [x for x in self.order if self.slot_flagged[x]]:
             imh = self.im_valid & (self.im["host"] == sl)
             self.im_valid[imh] = False
@@ -1133,6 +1141,17 @@ class FullSystem:
                                     EDGELET, CORNER)
         im["my_type"][rows] = 1.0
 
+        # mirror the inserts into the device-resident immature pool
+        from sdv_loam_tpu.system.kf_ops import IM_FIELDS, commit_im_rows
+        if rows.size:
+            (rows_p,), nn = self._pad_bucket([rows.astype(np.int32)])
+            valid = np.arange(rows_p.shape[0]) < nn
+            vals = {f: self.im[f][rows_p] for f in IM_FIELDS}
+            self._im_pool = commit_im_rows(
+                self._im_pool_dev(), jnp.asarray(rows_p),
+                jnp.asarray(valid),
+                {k: jnp.asarray(v) for k, v in vals.items()})
+
     def _activate_steps(self, frame, newest_slot):
         """activatePointsMT (FullSystem.cpp:569-723)."""
         s = self.s
@@ -1180,17 +1199,13 @@ class FullSystem:
         R_pair, t_pair, aff_pair = self._pair_transforms()
 
         im = self.im
-        out = yield self._block(activate_full(
-            jnp.asarray(im["u"]), jnp.asarray(im["v"]),
-            jnp.asarray(im["idepth_min"]), jnp.asarray(im["idepth_max"]),
-            jnp.asarray(im["status"]), jnp.asarray(im["quality"]),
-            jnp.asarray(im["pixel_interval"]), jnp.asarray(im["host"]),
-            jnp.asarray(im["is_sensor"]), jnp.asarray(im["color"]),
-            jnp.asarray(im["weights"]), jnp.asarray(im["energy_th"]),
-            jnp.asarray(im["my_type"]), jnp.asarray(self.im_valid),
-            jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-            jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-            jnp.asarray(self.pt_valid),
+        pool_im = self._im_pool_dev()
+        pool_pt = self._kf_dev_pool()
+        dev = self._block(activate_full(
+            pool_im,
+            pool_pt["u"], pool_pt["v"],
+            pool_pt["idepth"], pool_pt["host"],
+            pool_pt["pt_valid"],
             jnp.int32(newest_slot), jnp.asarray(self.slot_used),
             jnp.asarray(self.slot_flagged),
             jnp.asarray(KRKi1), jnp.asarray(Kt1),
@@ -1201,6 +1216,13 @@ class FullSystem:
             jnp.float32(s.min_idepth_h_act),
             w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
             a_cap=self.M, gn_iters=s.gn_its_on_point_activation))
+        # chain the in-program pool removals; host bookkeeping below applies
+        # the identical updates to the host mirror
+        self._im_pool = dict(pool_im, im_valid=dev["im_valid"],
+                             status=dev["im_status"])
+        out = yield {k: dev[k] for k in
+                     ("dead", "kill", "drop_oob", "cand_idx", "lane_valid",
+                      "success", "idepth", "inlier_targets")}
 
         self._last_act = None
         dead = out["dead"]

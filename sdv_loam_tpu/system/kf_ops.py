@@ -33,10 +33,8 @@ from sdv_loam_tpu.utils import se3
 @partial(jax.jit, static_argnames=("w", "h", "w1", "h1", "n_frames", "a_cap",
                                    "gn_iters"))
 def activate_full(
-        # immature pool (M,)
-        im_u, im_v, im_idepth_min, im_idepth_max, im_status, im_quality,
-        im_pixel_interval, im_host, im_is_sensor, im_color, im_weights,
-        im_energy_th, im_my_type, im_valid,
+        # immature pool: device-resident dict (IM_FIELDS + im_valid)
+        im,
         # active pool (distance-map seeds)
         pt_u, pt_v, pt_idepth, pt_host, pt_valid,
         # frame state
@@ -56,6 +54,14 @@ def activate_full(
       success, idepth, inlier_targets: activation GN results per lane.
     """
     F = n_frames
+    im_u, im_v = im["u"], im["v"]
+    im_idepth_min, im_idepth_max = im["idepth_min"], im["idepth_max"]
+    im_status, im_quality = im["status"], im["quality"]
+    im_pixel_interval, im_host = im["pixel_interval"], im["host"]
+    im_is_sensor, im_color, im_weights = im["is_sensor"], im["color"], \
+        im["weights"]
+    im_energy_th, im_my_type, im_valid = im["energy_th"], im["my_type"], \
+        im["im_valid"]
     M = im_u.shape[0]
 
     # --- level-1 distance map from projected active points (excl. newest) ---
@@ -113,10 +119,20 @@ def activate_full(
         w=w, h=h, n_frames=F, min_idepth_h_act=min_idepth_h_act,
         min_obs=1, gn_iters=gn_iters)
 
+    # in-program immature-pool removal (mirrors the host bookkeeping:
+    # dead/kill/drop_oob plus every processed activation lane); status is
+    # forced OOB at freed rows so chained trace programs skip them
+    lanes = jnp.zeros((M,), bool).at[
+        jnp.where(lane_valid, cidx, M)].set(True, mode="drop")
+    im_valid_new = im_valid & ~(dead | kill | drop_oob) & ~lanes
+    im_status_new = jnp.where(im_valid & ~im_valid_new,
+                              trace_ops.IPS_OOB, im_status)
+
     return dict(dead=dead, kill=kill, drop_oob=drop_oob, keep=keep,
                 cand_idx=cidx, lane_valid=lane_valid,
                 success=out["success"] & lane_valid, idepth=out["idepth"],
-                inlier_targets=out["inlier_targets"])
+                inlier_targets=out["inlier_targets"],
+                im_valid=im_valid_new, im_status=im_status_new)
 
 
 @partial(jax.jit, static_argnames=("n_frames", "w", "h", "max_level",
@@ -372,3 +388,32 @@ def commit_pool_kf(pool, slot, act_rows, act_valid, act_vals, act_res):
     out["res_state"] = res_state.at[rows].set(backend.RES_IN, mode="drop")
     out["matcher_valid"] = matcher_valid.at[rows].set(False, mode="drop")
     return out
+
+
+IM_FIELDS = ("u", "v", "idepth_min", "idepth_max", "host", "status",
+             "quality", "color", "weights", "gradH", "energy_th",
+             "is_sensor", "pixel_interval", "my_type")
+
+
+@jax.jit
+def commit_im_rows(pool, rows, valid, vals):
+    """Insert new immature points (makeNewTraces) into the DEVICE-resident
+    immature pool: one dispatch, only the new rows travel."""
+    M = pool["u"].shape[0]
+    r = jnp.where(valid, rows, M)
+    out = dict(pool)
+    for f in vals:
+        out[f] = pool[f].at[r].set(vals[f], mode="drop")
+    out["im_valid"] = pool["im_valid"].at[r].set(True, mode="drop")
+    return out
+
+
+@jax.jit
+def im_clear_slots(pool, slot_mask):
+    """Invalidate immature points hosted at marginalized slots (the host
+    bookkeeping loop in _kf_opt_steps); status forced OOB so the chained
+    trace programs skip the freed rows."""
+    F = slot_mask.shape[0]
+    dead = slot_mask[jnp.clip(pool["host"], 0, F - 1)] & pool["im_valid"]
+    return dict(pool, im_valid=pool["im_valid"] & ~dead,
+                status=jnp.where(dead, trace_ops.IPS_OOB, pool["status"]))

@@ -117,6 +117,7 @@ for i in range(n):
               f" feth {fs.fe_th[used[-1]]:7.1f}"
               f" aff_a {fs.aff[used[-1], 0]:6.3f}"
               f" |HM| {np.abs(fs.HM).max():9.2e}"
+              f" win_d {getattr(fs, 'last_ba_window_deltas', {})}"
               f" t {time.time()-t0:6.1f}s", flush=True)
 est = fs.get_trajectory(); gt = seq.poses_wc[:len(est)]
 print(f"FINAL ate {ate_rmse(est, gt):.3f} over {len(est)} frames "
