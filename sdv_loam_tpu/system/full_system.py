@@ -518,13 +518,15 @@ class FullSystem:
         T_wc_stack = np.linalg.inv(T_cw)
         flat, offs, ws, hs = frame["flat"]
 
-        # device cache of the (KF-mutated-only) point-pool arguments
+        # device cache of the (KF-mutated-only) point-pool arguments,
+        # derived from the device-resident active pool (no uploads)
         if self._pt_dev is None:
+            pool = self._kf_dev_pool()
+            ridx_d = jnp.full_like(pool["host"], self.order[0]) \
+                if n_window == 2 else pool["host"]
             self._pt_dev = (
-                jnp.asarray(self.pt["u"]), jnp.asarray(self.pt["v"]),
-                jnp.asarray(self.pt["idepth"]), jnp.asarray(self.pt["host"]),
-                jnp.asarray(self.pt["type"]), jnp.asarray(self.pt_valid),
-                jnp.asarray(self.pt["quality"]), jnp.asarray(ref_idx))
+                pool["u"], pool["v"], pool["idepth"], pool["host"],
+                pool["type"], pool["pt_valid"], pool["quality"], ridx_d)
         (pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, ridx_d) = self._pt_dev
 
         # re-track ladder (trackNewCoarse:412-462). The reference tries
