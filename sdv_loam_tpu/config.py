@@ -96,6 +96,11 @@ class Settings:
     # consistent Gauss-Newton at the current pose — diverges long-horizon
     # (matcher feedback loop, tools/drift_bisect.py findings).
     ba_resf_at_fej: bool = True
+    # MAD-standardize the struct-pose Tukey residuals (round-1/2 behavior).
+    # False = reference-exact: raw normalized-plane residuals never reach
+    # b=4.6851, so the stage is plain least squares over all matches
+    # (CoarseTracker.cpp:873-887; see ops/struct_pose._build_system).
+    struct_pose_mad: bool = False
 
     # --- activation / marginalization (settings.cpp:41-49) ---
     min_idepth_h_act: float = 100.0

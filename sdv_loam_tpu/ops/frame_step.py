@@ -32,7 +32,8 @@ from sdv_loam_tpu.utils import se3
 
 
 @partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level",
-                                   "n_refine", "use_struct_pose"))
+                                   "n_refine", "use_struct_pose",
+                                   "struct_pose_mad"))
 def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      Ks, T_tries, try_exclude, aff_last, ref_aff, exposures,
                      min_res_for_abort, ref_T_wc,
@@ -41,7 +42,8 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      dI0_stack, ref_idx_per_point, K0,
                      cutoff_th, huber_th,
                      coarsest_lvl: int, w: int, h: int, max_level: int,
-                     n_refine: int = 3, use_struct_pose: bool = True):
+                     n_refine: int = 3, use_struct_pose: bool = True,
+                     struct_pose_mad: bool = False):
     """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
     best_try) — `try_exclude` masks hypotheses already consumed by a host
     retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
@@ -114,7 +116,7 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     T_wc_h = T_wc_stack[jnp.clip(pt_host, 0, T_wc_stack.shape[0] - 1)]
     pw = jnp.einsum("nij,nj->ni", T_wc_h[:, :3, :3], pr) + T_wc_h[:, :3, 3]
     sp = struct_pose_estimate(T_wc_fh, pw, match["px"], match["matched"],
-                              K0, w, h)
+                              K0, w, h, standardize=struct_pose_mad)
     # only adopt the struct pose when enough matches constrain it
     T_wc_out = jnp.where(use_struct_pose & (n_matched >= 10),
                          sp["T_cur_to_world"], T_wc_fh)

@@ -63,16 +63,22 @@ def _mad_sigma(x, ok):
     return 1.4826 * mad
 
 
-def _build_system(res_n, ok, pf):
+def _build_system(res_n, ok, pf, standardize: bool):
     """Tukey-weighted 6x6 normal equations (calcHandb:889-947).
 
-    Deviation from the reference: calculateWeight (CoarseTracker.cpp:873-887)
-    applies Tukey's b=4.6851 to the RAW normalized-plane residual norm, which
-    is ~1e-3 — every weight is 1.0 and the `Tukey bi-square weights` of the
-    paper never actually clip. We standardize by the robust (MAD) scale of
-    the current residual set first, which is what the b=4.6851 constant is
-    defined for; without it a handful of bad matches can drag the whole
-    6-DoF solve (observed: 0.16 m -> 0.8 m pose error on a 22-match frame).
+    `standardize=True` (round-1/2 behavior) divides the residual norm by
+    the robust (MAD) scale of the CURRENT residual set before Tukey's
+    b=4.6851, which is what that constant is defined for; without it a
+    handful of bad matches can drag the whole 6-DoF solve (observed:
+    0.16 m -> 0.8 m pose error on a 22-match frame). The flip side: a
+    SELF-CONSISTENT biased cluster (e.g. appearance-biased far-wall
+    matches, all shifted outward together) defines the MAD scale and the
+    disagreeing well-constrained points get clipped as outliers — an
+    accept-the-majority failure mode the reference cannot have, because
+    its calculateWeight (CoarseTracker.cpp:873-887) applies b=4.6851 to
+    the RAW normalized-plane residual (~1e-3): every weight is 1.0 and
+    the stage is plain least squares over ALL matches.
+    `standardize=False` reproduces the reference exactly.
     """
     x, y, z = pf[:, 0], pf[:, 1], pf[:, 2]
     iz = 1.0 / jnp.where(z == 0, 1.0, z)
@@ -85,7 +91,10 @@ def _build_system(res_n, ok, pf):
     Jy = jnp.stack([zero, iz, -y * iz2, -(one + y * y * iz2), x * y * iz2,
                     x * iz], axis=-1)
     rn = jnp.linalg.norm(res_n, axis=-1)
-    sigma = jnp.maximum(_mad_sigma(rn, ok), 1e-5)
+    if standardize:
+        sigma = jnp.maximum(_mad_sigma(rn, ok), 1e-5)
+    else:
+        sigma = jnp.float32(1.0)
     wgt = jnp.where(ok, _tukey(rn / sigma), 0.0)
     J = jnp.stack([Jx, Jy], axis=1)                  # (N, 2, 6)
     H = jnp.einsum("nai,n,naj->ij", J, wgt, J)
@@ -93,9 +102,12 @@ def _build_system(res_n, ok, pf):
     return H, b
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("max_iters", "standardize"))
 def struct_pose_estimate(T_cur_to_world, pts_world, obs_uv, valid, K, w, h,
-                         max_iters: int = 10):
+                         max_iters: int = 10, standardize: bool = False):
     """LM refinement of the current frame pose against matched map points.
 
     Args:
@@ -111,8 +123,12 @@ def struct_pose_estimate(T_cur_to_world, pts_world, obs_uv, valid, K, w, h,
 
     # robust objective scale frozen at the initial residual set so the
     # accept/reject energy is a consistent function across iterations
-    rn0, _, ok0, _ = _residuals(T_wc, pts_world, obs_uv, valid, K, w, h)
-    sigma0 = jnp.maximum(_mad_sigma(jnp.linalg.norm(rn0, axis=-1), ok0), 1e-5)
+    if standardize:
+        rn0, _, ok0, _ = _residuals(T_wc, pts_world, obs_uv, valid, K, w, h)
+        sigma0 = jnp.maximum(
+            _mad_sigma(jnp.linalg.norm(rn0, axis=-1), ok0), 1e-5)
+    else:
+        sigma0 = jnp.float32(1.0)
     b2_6 = TUKEY_B * TUKEY_B / 6.0
 
     def _rho(x):
@@ -129,7 +145,7 @@ def struct_pose_estimate(T_cur_to_world, pts_world, obs_uv, valid, K, w, h,
 
     def system(Twc):
         res_n, _, ok, pf = _residuals(Twc, pts_world, obs_uv, valid, K, w, h)
-        return _build_system(res_n, ok, pf)
+        return _build_system(res_n, ok, pf, standardize)
 
     e0, _ = energy(T_wc)
 

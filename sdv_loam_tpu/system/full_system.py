@@ -514,8 +514,6 @@ class FullSystem:
         if n_window == 2:
             ref_idx[:] = self.order[0]
 
-        T_cw = self.T_cw
-        T_wc_stack = np.linalg.inv(T_cw)
         flat, offs, ws, hs = frame["flat"]
 
         # device cache of the (KF-mutated-only) point-pool arguments,
@@ -528,6 +526,21 @@ class FullSystem:
                 pool["u"], pool["v"], pool["idepth"], pool["host"],
                 pool["type"], pool["pt_valid"], pool["quality"], ridx_d)
         (pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, ridx_d) = self._pt_dev
+
+        # per-KF-constant device args (window poses, affine/exposure stacks,
+        # calib, the tracking-ref pose): uploaded once per keyframe instead
+        # of once per frame (cache invalidated alongside _pt_dev)
+        if getattr(self, "_track_const_dev", None) is None:
+            T_wc_stack = np.linalg.inv(self.T_cw)
+            self._track_const_dev = dict(
+                ref_aff=jnp.asarray(self.track_ref_aff, jnp.float32),
+                exp2=jnp.asarray([1.0, 1.0], jnp.float32),
+                inf5=jnp.full((5,), jnp.inf, jnp.float32),
+                ref_T_wc=jnp.asarray(ref_shell["T_wc"], jnp.float32),
+                T_wc_stack=jnp.asarray(T_wc_stack, jnp.float32),
+                aff=jnp.asarray(self.aff), exposure=jnp.asarray(self.exposure),
+                K0=jnp.asarray(self.K0))
+        tc = self._track_const_dev
 
         # re-track ladder (trackNewCoarse:412-462). The reference tries
         # hypotheses ONE AT A TIME and breaks at the first whose residual
@@ -552,18 +565,16 @@ class FullSystem:
                 self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
                 jnp.asarray(T_batch), jnp.asarray(exclude),
                 jnp.asarray(aff_last, jnp.float32),
-                jnp.asarray(self.track_ref_aff, jnp.float32),
-                jnp.asarray([1.0, 1.0], jnp.float32),
-                jnp.full((5,), jnp.inf, jnp.float32),
-                jnp.asarray(ref_shell["T_wc"], jnp.float32),
+                tc["ref_aff"], tc["exp2"], tc["inf5"], tc["ref_T_wc"],
                 pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
-                jnp.asarray(T_wc_stack, jnp.float32), jnp.asarray(self.aff),
-                jnp.asarray(self.exposure), self.dI0_stack,
-                ridx_d, jnp.asarray(self.K0),
+                tc["T_wc_stack"], tc["aff"],
+                tc["exposure"], self.dI0_stack,
+                ridx_d, tc["K0"],
                 self.s.coarse_cutoff_th, self.s.huber_th,
                 coarsest_lvl=coarsest, w=self.w, h=self.h,
                 max_level=self.levels - 1, n_refine=n_refine,
-                use_struct_pose=self.s.use_struct_pose))
+                use_struct_pose=self.s.use_struct_pose,
+                struct_pose_mad=self.s.struct_pose_mad))
             r0 = float(np.asarray(out["res"])[0])
             o = bool(out["ok"]) and np.isfinite(r0) and \
                 np.isfinite(np.asarray(out["T_wc"])).all()
@@ -807,6 +818,7 @@ class FullSystem:
             return
 
         self._pt_dev = None
+        self._track_const_dev = None
         self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
                                int(self.res_active.sum()),
                                float(self.last_coarse_rmse[0]))

@@ -53,6 +53,10 @@ if "gate" in ablate:
     _kw["ba_gate_refresh"] = True
 if "forceacc" in ablate:
     _kw["force_accept_step"] = True
+if "nosp" in ablate:
+    _kw["use_struct_pose"] = False
+if "spmad" in ablate:
+    _kw["struct_pose_mad"] = True
 s = Settings(**_kw)
 fs = FullSystem(seq.calib, seq.sensor, s)
 # NOTE: with noba the first 2-3 KFs still run BA (the window<3/<4 iteration
