@@ -96,11 +96,19 @@ class Settings:
     # consistent Gauss-Newton at the current pose — diverges long-horizon
     # (matcher feedback loop, tools/drift_bisect.py findings).
     ba_resf_at_fej: bool = True
-    # MAD-standardize the struct-pose Tukey residuals (round-1/2 behavior).
-    # False = reference-exact: raw normalized-plane residuals never reach
-    # b=4.6851, so the stage is plain least squares over all matches
-    # (CoarseTracker.cpp:873-887; see ops/struct_pose._build_system).
-    struct_pose_mad: bool = False
+    # MAD-standardize the struct-pose Tukey residuals. The reference's raw
+    # weighting (CoarseTracker.cpp:873-887) never reaches b=4.6851 and is
+    # effectively plain least squares; measured long-run (200 straight
+    # KITTI-scale frames) it lets seed-stuck outlier matches drag the pose
+    # (ATE 41 m vs 13 m standardized) and cannot correct injected pose
+    # errors (tools/drift_bisect.py round-3 findings). Default True is a
+    # deliberate robustness deviation; False reproduces the reference.
+    struct_pose_mad: bool = True
+    # photometric veto on the struct pose: accept the stage-2 correction
+    # only while the stage-1 (photometric) rmse at the corrected pose stays
+    # within this factor of the accepted photometric optimum — unvetoed,
+    # the self-seeded match set can push the pose meters (ops/frame_step)
+    struct_pose_e_tol: float = 1.5
 
     # --- activation / marginalization (settings.cpp:41-49) ---
     min_idepth_h_act: float = 100.0

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from sdv_loam_tpu.models.matcher import reproject_and_match
-from sdv_loam_tpu.ops.photometric import track_coarsest_batch, track_pyramid
+from sdv_loam_tpu.ops.photometric import (aff_transfer, calc_res_gs,
+                                          track_coarsest_batch, track_pyramid)
 from sdv_loam_tpu.ops.struct_pose import struct_pose_estimate
 from sdv_loam_tpu.utils import se3
 
@@ -43,7 +44,8 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                      cutoff_th, huber_th,
                      coarsest_lvl: int, w: int, h: int, max_level: int,
                      n_refine: int = 3, use_struct_pose: bool = True,
-                     struct_pose_mad: bool = False):
+                     struct_pose_mad: bool = False,
+                     struct_pose_e_tol: float = 1.5):
     """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
     best_try) — `try_exclude` masks hypotheses already consumed by a host
     retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
@@ -117,9 +119,35 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     pw = jnp.einsum("nij,nj->ni", T_wc_h[:, :3, :3], pr) + T_wc_h[:, :3, 3]
     sp = struct_pose_estimate(T_wc_fh, pw, match["px"], match["matched"],
                               K0, w, h, standardize=struct_pose_mad)
-    # only adopt the struct pose when enough matches constrain it
-    T_wc_out = jnp.where(use_struct_pose & (n_matched >= 10),
-                         sp["T_cur_to_world"], T_wc_fh)
+    # Photometric veto of the struct pose: the stage's matched pixels are a
+    # derived (self-seeded) measurement; the photometric image alignment is
+    # the independent one. Accept the struct correction only if the stage-1
+    # energy at the corrected pose stays within `struct_pose_e_tol` of the
+    # accepted photometric optimum (evaluated on LEVEL 1, same cutoff and
+    # brightness transfer for both poses). Measured on 200 straight
+    # KITTI-scale frames (tools/drift_bisect.py round-3 struct-pose pass):
+    # without a veto the stage's forward push grows to +1.9 m/frame and the
+    # trajectory runs away (ATE 41 m with the reference's raw Tukey, 13 m
+    # MAD-standardized, vs 0.99 m stage-off); runaway poses sit meters off
+    # the photometric optimum (energy ratio >> tol) while legitimate
+    # corrections are near-optimal.
+    T_sp = sp["T_cur_to_world"]
+    aff_rel = aff_transfer(exposures[0], exposures[1], ref_aff, tr["aff"])
+    gate_lvl = 1
+    T_ref2sp = se3.mul(se3.inverse(T_sp), ref_T_wc)
+    r_fh = calc_res_gs(pools[gate_lvl], dI_new_pyr[gate_lvl], Ks[gate_lvl],
+                       se3.mul(se3.inverse(T_wc_fh), ref_T_wc), aff_rel,
+                       ref_aff[1], cutoff_th, huber_th)
+    r_sp = calc_res_gs(pools[gate_lvl], dI_new_pyr[gate_lvl], Ks[gate_lvl],
+                       T_ref2sp, aff_rel, ref_aff[1], cutoff_th, huber_th)
+    e_fh = r_fh["E"] / jnp.maximum(r_fh["n"], 1)
+    e_sp = r_sp["E"] / jnp.maximum(r_sp["n"], 1)
+    sp_ok = (e_sp <= e_fh * (struct_pose_e_tol * struct_pose_e_tol)) \
+        & (r_sp["n"] > 0.5 * r_fh["n"])
+    # only adopt the struct pose when enough matches constrain it AND the
+    # photometric veto passes
+    T_wc_out = jnp.where(use_struct_pose & (n_matched >= 10) & sp_ok,
+                         T_sp, T_wc_fh)
     T_wc_out = jnp.where(jnp.isfinite(T_wc_out).all(), T_wc_out, T_wc_fh)
 
     return dict(T_ref_to_fh=T_ref2fh, T_wc=T_wc_out, aff=tr["aff"],

@@ -574,7 +574,8 @@ class FullSystem:
                 coarsest_lvl=coarsest, w=self.w, h=self.h,
                 max_level=self.levels - 1, n_refine=n_refine,
                 use_struct_pose=self.s.use_struct_pose,
-                struct_pose_mad=self.s.struct_pose_mad))
+                struct_pose_mad=self.s.struct_pose_mad,
+                struct_pose_e_tol=self.s.struct_pose_e_tol))
             r0 = float(np.asarray(out["res"])[0])
             o = bool(out["ok"]) and np.isfinite(r0) and \
                 np.isfinite(np.asarray(out["T_wc"])).all()
