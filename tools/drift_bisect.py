@@ -29,11 +29,20 @@ from sdv_loam_tpu.eval.ate import ate_rmse
 
 ablate = set(filter(None, os.environ.get("ABLATE", "").split(",")))
 n = int(os.environ.get("N_FRAMES", "200"))
-seq = make_sequence(n_frames=n, w=1200, h=360, fx=718.856, step=0.8,
-                    yaw_rate=0.0, lidar_stride=2, half_width=14.0)
+scene = os.environ.get("SCENE", "straight")
+if scene == "scurve":
+    from sdv_loam_tpu.data.synthetic import s_curve_profile
+    prof = s_curve_profile(n, peak=0.006, n_lobes=4)
+    seq = make_sequence(n_frames=n, w=1200, h=360, fx=718.856, step=0.8,
+                        yaw_rate=prof, lidar_stride=2, half_width=14.0,
+                        follow_path=True)
+    _cache = f"/tmp/scurve_seq_{n}.npz"
+else:
+    seq = make_sequence(n_frames=n, w=1200, h=360, fx=718.856, step=0.8,
+                        yaw_rate=0.0, lidar_stride=2, half_width=14.0)
+    _cache = f"/tmp/drift_seq_{n}.npz"
 
 # disk-cache the rendered frames so ablation runs share one raycast pass
-_cache = f"/tmp/drift_seq_{n}.npz"
 if os.path.exists(_cache):
     _z = np.load(_cache, allow_pickle=True)
     _frames = [(_z[f"img{i}"], _z[f"cld{i}"], float(_z["ts"][i]))
