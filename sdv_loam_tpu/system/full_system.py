@@ -597,11 +597,18 @@ class FullSystem:
         ok = best_out is not None
         if not ok:
             # reference fallback: keep the predicted pose and hope to recover
-            # (trackNewCoarse:462-468)
+            # (trackNewCoarse:462-468). After a deep divergence the motion
+            # prediction itself can be non-finite/singular (f32 overflow in
+            # the shells) — sanitize instead of crashing in inv(); the
+            # caller's finite checks then declare LOST.
             res = np.where(np.isfinite(res), res, 100.0)
             flow = np.zeros(3)
             T_ref2fh = tries[0]
-            T_wc = ref_shell["T_wc"] @ np.linalg.inv(T_ref2fh)
+            ok_T = np.isfinite(T_ref2fh).all() and \
+                np.isfinite(ref_shell["T_wc"]).all() and \
+                abs(np.linalg.det(T_ref2fh)) > 1e-12
+            T_wc = (ref_shell["T_wc"] @ np.linalg.inv(T_ref2fh)) if ok_T \
+                else np.full((4, 4), np.nan)
             aff_fh = aff_last
         else:
             T_ref2fh = np.asarray(out["T_ref_to_fh"], np.float64)
