@@ -108,7 +108,24 @@ class Settings:
     # only while the stage-1 (photometric) rmse at the corrected pose stays
     # within this factor of the accepted photometric optimum — unvetoed,
     # the self-seeded match set can push the pose meters (ops/frame_step)
-    struct_pose_e_tol: float = 1.5
+    struct_pose_e_tol: float = 1.1
+    # sanity veto on the windowed-BA result (robustness deviation — the
+    # reference has no equivalent; its denser residual graph never leaves a
+    # window direction unconstrained). With the FEJ-anchored residual the LM
+    # accept test is governed by the prior/marg energies, so a pose left
+    # unconstrained by a thinned residual graph can be flung meters and
+    # still accepted (measured on the 400-frame S-curve: one -5.4 m z step
+    # at a healthy keyframe cascaded into total point starvation). If BA
+    # moves any window pose more than this far from its pre-BA shell pose,
+    # the keyframe tail is re-run with BA disabled for that keyframe.
+    # 0 disables. Healthy BA corrections measure <=0.15 m / <0.02 rad.
+    ba_step_veto_m: float = 0.5
+    ba_step_veto_rad: float = 0.15
+    # per-level tracking-reference pool capacities (coarser levels repeat
+    # the last entry). Track-program cost scales with these lane counts;
+    # overflow is stride-subsampled, not truncated (ops/photometric.
+    # build_track_ref). Live counts at KITTI scale: ~4-6k on level 0.
+    track_ref_caps: tuple = (6144, 4096, 2048, 1024)
 
     # --- activation / marginalization (settings.cpp:41-49) ---
     min_idepth_h_act: float = 100.0

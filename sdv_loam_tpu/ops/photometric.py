@@ -100,13 +100,24 @@ def _dilate_once(idepth, weight, diagonal: bool):
 
 
 @partial(jax.jit, static_argnames=("levels", "cap"))
-def build_track_ref(dI_pyr, idepth0, weight0, levels: int, cap: int = 16384):
+def build_track_ref(dI_pyr, idepth0, weight0, levels: int,
+                    cap: int | tuple = 16384):
     """Build per-level tracking-reference pools from level-0 splat maps.
 
     Returns a tuple over levels of dicts {u, v, idepth, color, valid} with
-    fixed capacity `cap` (row-major compaction order, like the reference's
-    scan order), plus per-level counts.
+    fixed per-level capacity `cap` (int = same for all levels, tuple = per
+    level, last entry repeated). When the live count exceeds the capacity
+    the good cells are stride-subsampled (every k-th in scan order) rather
+    than truncated: row-major truncation would keep only the top image rows
+    — a strong spatial bias for an 8-DoF photometric GN. The tracking cost
+    of every level is proportional to its capacity (masked lanes still pay
+    their gathers), so these caps are the track program's content knob
+    (live counts measure 4-6k at KITTI scale vs the old uniform 16384).
     """
+    if isinstance(cap, int):
+        caps = (cap,) * levels
+    else:
+        caps = tuple(cap) + (cap[-1],) * (levels - len(cap))
     pools = []
     use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
@@ -126,9 +137,14 @@ def build_track_ref(dI_pyr, idepth0, weight0, levels: int, cap: int = 16384):
         yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
         interior = (xx >= 2) & (xx < w - 2) & (yy >= 2) & (yy < h - 2)
         good = interior & (norm_id > 0) & jnp.isfinite(color)
-        c = min(cap, w * h)
-        (flat_idx,) = jnp.nonzero(good.ravel(), size=c, fill_value=w * h - 1)
-        n = good.sum()
+        c = min(caps[lvl], w * h)
+        gf = good.ravel()
+        n_all = gf.sum()
+        stride = jnp.maximum((n_all + c - 1) // c, 1)
+        rank = jnp.cumsum(gf) - 1
+        keep = gf & (rank % stride == 0)
+        (flat_idx,) = jnp.nonzero(keep, size=c, fill_value=w * h - 1)
+        n = keep.sum()
         slot_valid = jnp.arange(c) < n
         pu = (flat_idx % w).astype(jnp.float32)
         pv = (flat_idx // w).astype(jnp.float32)

@@ -444,7 +444,8 @@ class FullSystem:
                                jnp.asarray(idp), jnp.asarray(weight),
                                jnp.asarray(ok), self.w, self.h)
         self.track_ref = build_track_ref(self.pyr_slots[slot], id0, w0,
-                                         self.levels)
+                                         self.levels,
+                                         cap=self.s.track_ref_caps)
         self.track_ref_slot = slot
         self.track_ref_aff = self.aff[slot].copy()
         self.first_coarse_rmse = -1.0
@@ -467,10 +468,21 @@ class FullSystem:
             return tries
         slast = self.shells[-2]
         sprelast = self.shells[-3]
-        T_s2sp = np.linalg.inv(sprelast["T_wc"]) @ slast["T_wc"]
-        T_lastF2s = np.linalg.inv(slast["T_wc"]) @ ref_shell["T_wc"]
+
+        def inv(T):
+            # shells can hold degenerate poses after a hard tracking
+            # failure; a singular/non-finite pose would crash here before
+            # the ladder's own finite-guard can replace it with identity
+            if not np.isfinite(T).all():
+                return np.eye(4)
+            try:
+                return np.linalg.inv(T)
+            except np.linalg.LinAlgError:
+                return np.eye(4)
+
+        T_s2sp = inv(sprelast["T_wc"]) @ slast["T_wc"]
+        T_lastF2s = inv(slast["T_wc"]) @ ref_shell["T_wc"]
         fh_2_slast = T_s2sp
-        inv = np.linalg.inv
         tries.append(inv(fh_2_slast) @ T_lastF2s)                    # const
         tries.append(inv(fh_2_slast) @ inv(fh_2_slast) @ T_lastF2s)  # double
         half = se3.se3_exp_np(se3.se3_log_np(fh_2_slast) * 0.5)
@@ -900,42 +912,46 @@ class FullSystem:
                               0.0).astype(np.float32)
 
         pool = self._kf_dev_pool()
-        out = self._block(kf_opt_step(
-            jnp.asarray(self.T_cw_fej, jnp.float32),
-            jnp.asarray(self.eps, jnp.float32),
-            jnp.asarray(self.K0), jnp.asarray(self.K0),
-            jnp.asarray(self.slot_used), jnp.asarray(self.frame_prior),
-            jnp.full(4, s.initial_calib_hessian / 2500.0, jnp.float32),
-            jnp.asarray(self.aff), jnp.asarray(self.exposure),
-            jnp.asarray(self.HM, jnp.float32),
-            jnp.asarray(self.bM, jnp.float32),
-            jnp.int32(slot), jnp.asarray(self.fe_th),
-            jnp.asarray(self.slot_flagged),
-            pool["u"], pool["v"],
-            pool["idepth"], pool["host"],
-            pool["color"], pool["weights"],
-            pool["is_sensor"], pool["prior"],
-            pool["pt_valid"], pool["type"],
-            pool["quality"],
-            pool["idepth_hessian"],
-            pool["num_good_res"],
-            pool["res_active"], pool["res_state"],
-            pool["res_is_new"],
-            pool["matcher_px"], pool["matcher_valid"],
-            self.dI0_stack,
-            flat_newest, offs, ws, hs, flat_stack,
-            jnp.asarray(ref_idx_newest), jnp.asarray(ref_idx_multi),
-            jnp.asarray(multi_mask),
-            frame["dI"],
-            jnp.int32(iters), jnp.int32(s.min_opt_iterations),
-            jnp.float32(s.th_opt_iterations), jnp.bool_(s.force_accept_step),
-            jnp.asarray(prior_marg), jnp.float32(s.marg_weight_fac),
-            jnp.int32(s.min_good_active_res_for_marg),
-            jnp.int32(s.min_good_res_for_marg),
-            jnp.float32(s.min_idepth_h_marg),
-            n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
-            levels=self.levels, gate_refresh=s.ba_gate_refresh,
-            resf_at_fej=s.ba_resf_at_fej))
+
+        def dispatch(iters_):
+            return self._block(kf_opt_step(
+                jnp.asarray(self.T_cw_fej, jnp.float32),
+                jnp.asarray(self.eps, jnp.float32),
+                jnp.asarray(self.K0), jnp.asarray(self.K0),
+                jnp.asarray(self.slot_used), jnp.asarray(self.frame_prior),
+                jnp.full(4, s.initial_calib_hessian / 2500.0, jnp.float32),
+                jnp.asarray(self.aff), jnp.asarray(self.exposure),
+                jnp.asarray(self.HM, jnp.float32),
+                jnp.asarray(self.bM, jnp.float32),
+                jnp.int32(slot), jnp.asarray(self.fe_th),
+                jnp.asarray(self.slot_flagged),
+                pool["u"], pool["v"],
+                pool["idepth"], pool["host"],
+                pool["color"], pool["weights"],
+                pool["is_sensor"], pool["prior"],
+                pool["pt_valid"], pool["type"],
+                pool["quality"],
+                pool["idepth_hessian"],
+                pool["num_good_res"],
+                pool["res_active"], pool["res_state"],
+                pool["res_is_new"],
+                pool["matcher_px"], pool["matcher_valid"],
+                self.dI0_stack,
+                flat_newest, offs, ws, hs, flat_stack,
+                jnp.asarray(ref_idx_newest), jnp.asarray(ref_idx_multi),
+                jnp.asarray(multi_mask),
+                frame["dI"],
+                jnp.int32(iters_), jnp.int32(s.min_opt_iterations),
+                jnp.float32(s.th_opt_iterations),
+                jnp.bool_(s.force_accept_step),
+                jnp.asarray(prior_marg), jnp.float32(s.marg_weight_fac),
+                jnp.int32(s.min_good_active_res_for_marg),
+                jnp.int32(s.min_good_res_for_marg),
+                jnp.float32(s.min_idepth_h_marg),
+                n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
+                levels=self.levels, track_ref_cap=s.track_ref_caps,
+                gate_refresh=s.ba_gate_refresh,
+                resf_at_fej=s.ba_resf_at_fej))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",
@@ -944,7 +960,44 @@ class FullSystem:
                      "match_overflow"]
         if s.log_stuff:
             pull_keys += ["H_final", "b_final", "nullspaces", "rmse"]
+        out = dispatch(iters)
         small = yield {k: out[k] for k in pull_keys}
+
+        # --- BA step sanity veto (robustness deviation, PARITY.md) ---
+        # With the FEJ-anchored residual the LM accept energy is governed by
+        # the prior/marg terms; a window direction left unconstrained by a
+        # thinned residual graph can be flung meters by the marg pull and
+        # still be "accepted" (measured: a single -5.4 m z step at an
+        # otherwise-healthy keyframe cascaded into total point starvation).
+        # If the accepted LM moved any window pose implausibly far from its
+        # pre-BA shell pose, re-run the keyframe tail with BA disabled —
+        # the tracked pose is cm-accurate, so a multi-meter BA "correction"
+        # is categorically a solver pathology, not information.
+        if s.ba_step_veto_m > 0 and len(self.order) >= 4:
+            worst_t = worst_r = np.inf
+            try:
+                T_cw_new = se3.se3_exp_np(np.array(small["eps"], np.float64)) \
+                    @ np.array(small["T_cw_fej"], np.float64)
+                T_wc_new = np.linalg.inv(T_cw_new)
+                if np.isfinite(T_wc_new).all():
+                    worst_t = worst_r = 0.0
+                    for sl in self.order:
+                        pre = self.shells[self.frame_shell_idx[sl]]["T_wc"]
+                        dT = np.linalg.inv(pre) @ T_wc_new[sl]
+                        worst_t = max(worst_t,
+                                      float(np.linalg.norm(dT[:3, 3])))
+                        c = (np.trace(dT[:3, :3]) - 1.0) / 2.0
+                        worst_r = max(worst_r,
+                                      float(np.arccos(np.clip(c, -1, 1))))
+            except np.linalg.LinAlgError:
+                pass   # degenerate BA result -> veto
+            if (worst_t > s.ba_step_veto_m
+                    or worst_r > s.ba_step_veto_rad
+                    or not np.isfinite(small["energy"])):
+                self.telemetry.counters["ba_step_veto"] += 1
+                out = dispatch(0)
+                small = yield {k: out[k] for k in pull_keys}
+
         if s.log_stuff:
             self.telemetry.log_hessian(len(self.kf_shells) - 1,
                                        small["H_final"], small["b_final"],
@@ -1131,10 +1184,12 @@ class FullSystem:
         z = np.concatenate([out["z"][lid_keep],
                             np.zeros(len(all_u) - n_sens, np.float32)])
         if all_u.size == 0:
+            self.last_new_traces = 0
             return
         max_score = score[:n_sens].max() if n_sens else 1.0
 
         rows = self._free_im_rows(len(all_u))
+        self.last_new_traces = int(len(rows))   # per-KF insert diagnostics
         sel = np.arange(len(all_u))[:len(rows)]
         im = self.im
         self.im_valid[rows] = True
@@ -1335,7 +1390,8 @@ class FullSystem:
                                jnp.asarray(idp), jnp.asarray(wt),
                                jnp.asarray(ok), self.w, self.h)
         self.track_ref = build_track_ref(self.pyr_slots[newest_slot], id0, w0,
-                                         self.levels)
+                                         self.levels,
+                                         cap=self.s.track_ref_caps)
         self.track_ref_slot = newest_slot
         self.track_ref_aff = self.aff[newest_slot].copy()
         self.first_coarse_rmse = -1.0

@@ -158,7 +158,7 @@ def kf_opt_step(
         prior_marg, marg_weight_fac, min_good_active_res_for_marg,
         min_good_res_for_marg, min_idepth_h_marg,
         n_frames: int, w: int, h: int, max_level: int, levels: int,
-        track_ref_cap: int = 16384, gate_refresh: bool = False,
+        track_ref_cap=16384, gate_refresh: bool = False,
         resf_at_fej: bool = True):
     """The whole post-activation keyframe tail as ONE device program:
 

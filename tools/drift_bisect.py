@@ -30,17 +30,21 @@ from sdv_loam_tpu.eval.ate import ate_rmse
 ablate = set(filter(None, os.environ.get("ABLATE", "").split(",")))
 n = int(os.environ.get("N_FRAMES", "200"))
 scene = os.environ.get("SCENE", "straight")
+W = int(os.environ.get("W", "1200"))
+H = int(os.environ.get("H", "360"))
+FX = float(os.environ.get("FX", "718.856"))
+_sz = "" if (W, H) == (1200, 360) else f"_{W}x{H}"
 if scene == "scurve":
     from sdv_loam_tpu.data.synthetic import s_curve_profile
     prof = s_curve_profile(n, peak=0.006, n_lobes=4)
-    seq = make_sequence(n_frames=n, w=1200, h=360, fx=718.856, step=0.8,
+    seq = make_sequence(n_frames=n, w=W, h=H, fx=FX, step=0.8,
                         yaw_rate=prof, lidar_stride=2, half_width=14.0,
                         follow_path=True)
-    _cache = f"/tmp/scurve_seq_{n}.npz"
+    _cache = f"/tmp/scurve_seq_{n}{_sz}.npz"
 else:
-    seq = make_sequence(n_frames=n, w=1200, h=360, fx=718.856, step=0.8,
+    seq = make_sequence(n_frames=n, w=W, h=H, fx=FX, step=0.8,
                         yaw_rate=0.0, lidar_stride=2, half_width=14.0)
-    _cache = f"/tmp/drift_seq_{n}.npz"
+    _cache = f"/tmp/drift_seq_{n}{_sz}.npz"
 
 # disk-cache the rendered frames so ablation runs share one raycast pass
 if os.path.exists(_cache):
@@ -66,6 +70,8 @@ if "nosp" in ablate:
     _kw["use_struct_pose"] = False
 if "spmad" in ablate:
     _kw["struct_pose_mad"] = True
+if os.environ.get("SPTOL"):
+    _kw["struct_pose_e_tol"] = float(os.environ["SPTOL"])
 s = Settings(**_kw)
 fs = FullSystem(seq.calib, seq.sensor, s)
 # NOTE: with noba the first 2-3 KFs still run BA (the window<3/<4 iteration
@@ -125,7 +131,10 @@ for i in range(n):
               f" step/gt {step_ratio:6.4f}"
               f" sp_dz {dps[2, 3]:+7.4f} nm {sh.get('n_matched', -1):4d}"
               f" ref[n {nref:5d} zmed {zmed:5.1f}]"
-              f" act {m.sum():4d}"
+              f" act {m.sum():4d} im {fs.im_valid.sum():4d}"
+              f" sel {getattr(fs, 'last_new_traces', -1):4d}"
+              f" pot {fs.pot_state.get('pot', -1):2d}"
+              f" veto {fs.telemetry.counters['ba_step_veto']:2d}"
               f" res/pt {fs.res_active[m].sum(1).mean():4.2f}"
               f" feth {fs.fe_th[used[-1]]:7.1f}"
               f" aff_a {fs.aff[used[-1], 0]:6.3f}"
