@@ -121,6 +121,12 @@ class Settings:
     # 0 disables. Healthy BA corrections measure <=0.15 m / <0.02 rad.
     ba_step_veto_m: float = 0.5
     ba_step_veto_rad: float = 0.15
+    # weak per-frame pose prior (1/sigma^2; sigma = 0.5 m / 0.05 rad)
+    # anchoring each window frame's eps to its tracked insertion pose —
+    # see _insert_frame_slot. 0 restores the reference (prior only on the
+    # first keyframe).
+    frame_pose_prior_t: float = 4.0
+    frame_pose_prior_r: float = 400.0
     # per-level tracking-reference pool capacities (coarser levels repeat
     # the last entry). Track-program cost scales with these lane counts;
     # overflow is stride-subsampled, not truncated (ops/photometric.

@@ -47,7 +47,7 @@ def _project(T_wc_inv, pts_world, K):
 
 
 @partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell",
-                                   "lane_cap_frac"))
+                                   "lane_cap_frac", "lane_cap"))
 def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         pts_valid, pts_quality,
                         T_wc_stack, aff_stack, exposure_stack,
@@ -56,7 +56,8 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         K, ref_idx_per_point,
                         w: int, h: int, max_level: int,
                         per_cell: bool = True,
-                        lane_cap_frac: float = 1.0):
+                        lane_cap_frac: float = 1.0,
+                        lane_cap: int = 0):
     """Match window map points into a target frame.
 
     `per_cell=True` keeps the reference's one-match-per-25px-cell limit
@@ -135,8 +136,13 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         # the highest pool indices — they stay unmatched this KF; the count
         # is exported so callers can surface the truncation (telemetry +
         # bench assert; silent starvation caused round 2's yaw-drift bug).
-        cap = max(1, int(lane_cap_frac * N))
-        cap = -(-cap // 8) * 8
+        # absolute lane_cap (host-bucketed to the exact live count) wins
+        # over the fraction; align cost is proportional to the cap, and the
+        # measured live lane counts sit far below the worst case (e.g. the
+        # pass-2 newest-host set is the activation count, ~150-500 steady
+        # state vs the 2048 worst-case burst)
+        cap = lane_cap if lane_cap > 0 else max(1, int(lane_cap_frac * N))
+        cap = min(-(-cap // 8) * 8, N)
         (cidx,) = jnp.nonzero(inb, size=cap, fill_value=0)
         lane_valid = jnp.arange(cap) < inb.sum()
         overflow = jnp.maximum(inb.sum() - cap, 0).astype(jnp.int32)
@@ -211,7 +217,8 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     return dict(matched=matched, px=px_out, overflow=overflow)
 
 
-@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell", "lane_cap_frac"))
+@partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell",
+                                   "lane_cap_frac", "lane_cap"))
 def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               pts_valid, pts_quality,
                               T_wc_stack, aff_stack, exposure_stack,
@@ -220,7 +227,8 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               exposure_targets, K, ref_idx_stack,
                               w: int, h: int, max_level: int,
                               per_cell: bool = True,
-                              lane_cap_frac: float = 1.0):
+                              lane_cap_frac: float = 1.0,
+                              lane_cap: int = 0):
     """Match the point pool into SEVERAL target frames in one dispatch.
 
     vmap of reproject_and_match over the target axis — used by the keyframe
@@ -235,7 +243,7 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
             pts_quality, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
             flat_pyr, offsets, widths, heights, T_t, aff_t, exp_t, K,
             ref_idx, w=w, h=h, max_level=max_level, per_cell=per_cell,
-            lane_cap_frac=lane_cap_frac)
+            lane_cap_frac=lane_cap_frac, lane_cap=lane_cap)
 
     return jax.vmap(one)(flat_pyr_stack, T_wc_targets, aff_targets,
                          exposure_targets, ref_idx_stack)

@@ -767,7 +767,16 @@ class FullSystem:
         self.eps[slot] = 0.0
         self.aff[slot] = frame["shell"]["aff"]
         self.exposure[slot] = frame.get("exposure", 1.0)
-        self.frame_prior[slot] = 0.0
+        # weak pose prior anchoring eps to the frame's tracked insertion
+        # pose (robustness deviation, PARITY.md delta 11): invisible in a
+        # healthy solve (residual H diag >= 1e5 vs ~4 here) but bounds the
+        # step in window directions a thinned residual graph leaves
+        # unconstrained — the multiplicative LM damping (1+lambda)*diag is
+        # zero there and the marg-prior pull can fling the pose meters
+        # (the failure the BA step veto catches after the fact).
+        self.frame_prior[slot] = np.array(
+            [self.s.frame_pose_prior_t] * 3
+            + [self.s.frame_pose_prior_r] * 3, np.float32)
         self.frame_kf_id[slot] = kf_id
         self.frame_shell_idx[slot] = frame["shell"]["id"]
         self.slot_flagged[slot] = False
@@ -913,6 +922,15 @@ class FullSystem:
 
         pool = self._kf_dev_pool()
 
+        # bucket the matcher pass-2 lane cap to the live newest-host count
+        # (the activation batch just committed): measured ~150-500 lanes
+        # steady-state vs the 2048 worst-case burst. Each bucket is a
+        # one-time kf_opt_step compile (persistent cache); the short ladder
+        # bounds the variant count at 3. Pass 1 stays at the frac default —
+        # its live count (~2400) nearly fills the 2560 bucket.
+        nf_live = int((self.pt_valid & (self.pt["host"] == slot)).sum())
+        p2_cap = next((c for c in (512, 1024, 2048) if nf_live <= c), N)
+
         def dispatch(iters_):
             return self._block(kf_opt_step(
                 jnp.asarray(self.T_cw_fej, jnp.float32),
@@ -951,7 +969,7 @@ class FullSystem:
                 n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
                 levels=self.levels, track_ref_cap=s.track_ref_caps,
                 gate_refresh=s.ba_gate_refresh,
-                resf_at_fej=s.ba_resf_at_fej))
+                resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",

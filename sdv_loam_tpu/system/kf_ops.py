@@ -137,7 +137,8 @@ def activate_full(
 
 @partial(jax.jit, static_argnames=("n_frames", "w", "h", "max_level",
                                    "levels", "track_ref_cap",
-                                   "gate_refresh", "resf_at_fej"))
+                                   "gate_refresh", "resf_at_fej",
+                                   "p1_cap", "p2_cap"))
 def kf_opt_step(
         # window state
         T_cw_fej, eps, calib, calib_zero, frame_valid, frame_prior, c_prior,
@@ -159,7 +160,7 @@ def kf_opt_step(
         min_good_res_for_marg, min_idepth_h_marg,
         n_frames: int, w: int, h: int, max_level: int, levels: int,
         track_ref_cap=16384, gate_refresh: bool = False,
-        resf_at_fej: bool = True):
+        resf_at_fej: bool = True, p1_cap: int = 0, p2_cap: int = 0):
     """The whole post-activation keyframe tail as ONE device program:
 
       matcher refresh (backprojectMap passes, FullSystem.cpp:1105-1131)
@@ -201,7 +202,9 @@ def kf_opt_step(
         T_wc, aff, exposure, dI0_stack, flat_newest, offs, widths, heights,
         T_wc_newest, aff_newest, exp_newest, calib, ref_idx_newest,
         w=w, h=h, max_level=max_level, per_cell=False,
-        lane_cap_frac=0.625)   # live points ~N/2; bucket with headroom
+        # host buckets p1_cap to the exact live old-host count; the frac is
+        # the fallback for callers without a host mirror
+        lane_cap_frac=0.625, lane_cap=p1_cap)
     upd_fresh = fresh["matched"] & hf
     matcher_px = jnp.where(upd_fresh[:, None, None]
                            & (jnp.arange(F)[None, :, None] == newest),
@@ -216,10 +219,12 @@ def kf_opt_step(
         T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
         heights, T_wc, aff, exposure, calib, ref_idx_multi,
         w=w, h=h, max_level=max_level, per_cell=False,
-        # newest-host points: sized to the ACTIVATION cap (a_cap = M = N/2),
-        # not a guess — an activation burst over the lane count silently
-        # starved residuals at 0.25 (ADVICE r2)
-        lane_cap_frac=0.5)
+        # host buckets p2_cap to the exact newest-host (activation) count —
+        # measured ~150-500 steady state vs the 2048 worst-case burst the
+        # frac covers; an undersized static cap silently starved residuals
+        # in round 2 (ADVICE r2), so the host bucket always covers the
+        # live count exactly
+        lane_cap_frac=0.5, lane_cap=p2_cap)
     mm = multi["matched"].swapaxes(0, 1) & nf[:, None] \
         & multi_target_mask[None, :]                       # (N, F)
     mpx = multi["px"].swapaxes(0, 1)                       # (N, F, 2)
