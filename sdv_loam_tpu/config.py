@@ -121,17 +121,25 @@ class Settings:
     # 0 disables. Healthy BA corrections measure <=0.15 m / <0.02 rad.
     ba_step_veto_m: float = 0.5
     ba_step_veto_rad: float = 0.15
-    # weak per-frame pose prior (1/sigma^2; sigma = 0.5 m / 0.05 rad)
-    # anchoring each window frame's eps to its tracked insertion pose —
-    # see _insert_frame_slot. 0 restores the reference (prior only on the
-    # first keyframe).
-    frame_pose_prior_t: float = 4.0
-    frame_pose_prior_r: float = 400.0
+    # weak per-frame pose prior (1/sigma^2) anchoring each window frame's
+    # eps to its tracked insertion pose — see _insert_frame_slot. Default
+    # 0 (reference semantics: prior only on the first keyframe). MEASURED
+    # NEGATIVE (400-frame S-curve: 1.21 m -> 13.0 m): marginalizing a
+    # framed slot folds the prior into HM permanently, accumulating
+    # world-frame insertion-pose springs that drag every later correction
+    # (136 BA step vetoes). A useful diagnostic, not a production guard —
+    # the step veto handles the degenerate-direction failure instead.
+    frame_pose_prior_t: float = 0.0
+    frame_pose_prior_r: float = 0.0
     # per-level tracking-reference pool capacities (coarser levels repeat
     # the last entry). Track-program cost scales with these lane counts;
     # overflow is stride-subsampled, not truncated (ops/photometric.
     # build_track_ref). Live counts at KITTI scale: ~4-6k on level 0.
     track_ref_caps: tuple = (6144, 4096, 2048, 1024)
+    # how many hypothesis-ladder winners get the full-pyramid refinement
+    # each frame (each costs ~34 ms device time; 1 loses ~5x accuracy,
+    # measured round 2)
+    track_refine_candidates: int = 3
 
     # --- activation / marginalization (settings.cpp:41-49) ---
     min_idepth_h_act: float = 100.0

@@ -569,10 +569,12 @@ class FullSystem:
         exclude[nt:] = True
         best_out, best_res0 = None, np.inf
         for attempt in range(3):
-            # top-3 full-pyramid refinement every attempt: picking the best
-            # of three by level-0 residual measurably improves ATE (the
-            # single-candidate fast path loses ~5x accuracy)
-            n_refine = 3
+            # top-k full-pyramid refinement every attempt: picking the best
+            # of several by level-0 residual measurably improves ATE (the
+            # single-candidate fast path loses ~5x accuracy); the refine
+            # candidates dominate the track program's device time (~34 ms
+            # each, tools/kf_microbench2.py)
+            n_refine = self.s.track_refine_candidates
             out = yield self._block(track_frame_step(
                 self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
                 jnp.asarray(T_batch), jnp.asarray(exclude),
@@ -1310,7 +1312,13 @@ class FullSystem:
             jnp.float32(s.min_trace_quality),
             jnp.float32(s.min_idepth_h_act),
             w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
-            a_cap=self.M, gn_iters=s.gn_its_on_point_activation))
+            # bucket the activation-lane cap to the live immature count
+            # (its strict upper bound): the activation GN's content is
+            # proportional to a_cap, and the pool is typically ~25% full
+            # (short bucket ladder -> bounded compile variants)
+            a_cap=next((c for c in (512, 1024, 2048)
+                        if int(self.im_valid.sum()) <= c), self.M),
+            gn_iters=s.gn_its_on_point_activation))
         # chain the in-program pool removals; host bookkeeping below applies
         # the identical updates to the host mirror
         self._im_pool = dict(pool_im, im_valid=dev["im_valid"],
