@@ -8,12 +8,12 @@ Both use the canyon-following scene (`follow_path=True`): the default
 world-fixed corridor degenerates under sustained yaw (the path swings
 laterally past the walls — see ROADMAP round-2 findings).
 
-Status (measured, round 2): short runs are excellent at KITTI scale (the
-46-degree sharp-turn test passes at ATE ~0.1%), but ALL long runs hit the
-open long-horizon runaway-drift defect (ROADMAP round-2 findings): even a
-dead-straight 200-frame KITTI-scale run accelerates from ATE 0.04 m at
-frame 40 to 20+ m at frame 120. The 500-frame test is therefore xfail
-until that defect is fixed — it is the round-3 acceptance gate.
+Status (round 3): the runaway drift is fixed — reference-exact FEJ
+residual anchoring (`ba_resf_at_fej`), the struct-pose photometric veto
+(tol 1.1), and the BA step sanity veto (ROADMAP round-3 findings).
+Measured on the real TPU: 400-frame full-scale S-curve (4 lobes,
+tools/drift_bisect.py) ATE 1.21 m over ~300 m = 0.40% final, stable
+through all lobes. The 500-frame gate runs un-xfailed.
 
 Marked slow (several minutes each on the CI CPU): run with `pytest -m slow`.
 """
@@ -28,9 +28,6 @@ from sdv_loam_tpu.system.full_system import FullSystem
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(reason="open long-horizon runaway drift (ROADMAP round-2"
-                          " findings) — the round-3 acceptance gate",
-                   strict=False)
 def test_500_frame_s_curve():
     n = 500
     prof = s_curve_profile(n, peak=0.006, n_lobes=4)
