@@ -68,7 +68,10 @@ def main():
           f"{time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
 
     # ---------------- phase 1: single sequence (and compile warmup) --------
-    s = Settings()
+    # SDV_BENCH_PIPELINED=1: overlap host staging with device tracking
+    # (Settings.pipelined_frames; trajectory identical to sequential mode,
+    # tests/test_pipelined.py)
+    s = Settings(pipelined_frames=bool(os.environ.get("SDV_BENCH_PIPELINED")))
     fs = FullSystem(seqs[0].calib, seqs[0].sensor, s)
     for i in range(warmup_frames):
         t1 = time.perf_counter()
@@ -82,6 +85,7 @@ def main():
     for i in range(warmup_frames, n_frames):
         img, cloud, ts = frame_sets[0][i]
         fs.add_active_frame(img, cloud, ts)
+    fs.flush()   # pipelined mode: count the last in-flight frame
     dt_single = time.perf_counter() - t0
     n_timed = n_frames - warmup_frames
     fps_single = n_timed / dt_single

@@ -121,6 +121,34 @@ class Settings:
     # 0 disables. Healthy BA corrections measure <=0.15 m / <0.02 rad.
     ba_step_veto_m: float = 0.5
     ba_step_veto_rad: float = 0.15
+    # absolute bound (meters) on the translation the struct-pose stage may
+    # move the photometric pose. The stage's photometric veto compares
+    # cutoff-CLAMPED energies: once the photometric track itself diverges,
+    # both poses saturate at the cutoff, the ratio test goes blind, and a
+    # multi-meter struct "correction" can pass (measured at f414 of the
+    # 500-frame S-curve: sp_dz -10.9 m accepted while both energies sat at
+    # the clamp). Legitimate corrections are cm-scale. 0 disables.
+    struct_pose_max_dt: float = 1.0
+    # tracked-step sanity veto (robustness deviation, like ba_step_veto):
+    # if the final tracked translation step exceeds
+    # max(track_step_veto_x * median(recent steps), track_step_veto_m),
+    # the frame keeps the motion-model (constant-velocity) pose instead of
+    # the diverged track result. A 10 Hz automotive platform cannot move
+    # 13 m in one frame; the reference's saturated coarsest-level residual
+    # cannot tell such poses apart (all residuals at the cutoff clamp).
+    # 0 disables.
+    track_step_veto_x: float = 4.0
+    track_step_veto_m: float = 1.5
+    # pipelined frame processing (the TPU analog of the reference's
+    # tracking/mapping thread overlap, FullSystem.cpp:902-1012): leave
+    # frame N's track program running on device across the add() boundary
+    # so frame N+1's host staging overlaps it; pose readback and the
+    # keyframe pipeline are deferred one frame. Tracking always uses the
+    # latest keyframe state (the deferral point is staging->tracking), so
+    # the trajectory matches sequential mode; shell poses and is_lost lag
+    # one frame until flush(). Default False = reference parity
+    # (linearizeOperation=true sequential mode).
+    pipelined_frames: bool = False
     # weak per-frame pose prior (1/sigma^2) anchoring each window frame's
     # eps to its tracked insertion pose — see _insert_frame_slot. Default
     # 0 (reference semantics: prior only on the first keyframe). MEASURED

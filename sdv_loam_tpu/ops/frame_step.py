@@ -32,20 +32,24 @@ from sdv_loam_tpu.ops.struct_pose import struct_pose_estimate
 from sdv_loam_tpu.utils import se3
 
 
-@partial(jax.jit, static_argnames=("coarsest_lvl", "w", "h", "max_level",
-                                   "n_refine", "use_struct_pose",
-                                   "struct_pose_mad"))
-def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
-                     Ks, T_tries, try_exclude, aff_last, ref_aff, exposures,
-                     min_res_for_abort, ref_T_wc,
-                     pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
-                     pt_quality, T_wc_stack, aff_stack, exposure_stack,
-                     dI0_stack, ref_idx_per_point, K0,
-                     cutoff_th, huber_th,
-                     coarsest_lvl: int, w: int, h: int, max_level: int,
-                     n_refine: int = 3, use_struct_pose: bool = True,
-                     struct_pose_mad: bool = False,
-                     struct_pose_e_tol: float = 1.5):
+_TRACK_STATIC = ("coarsest_lvl", "w", "h", "max_level", "n_refine",
+                 "use_struct_pose", "struct_pose_mad")
+
+
+def _track_frame_step_impl(pools, dI_new_pyr, flat_new, offsets, widths,
+                           heights,
+                           Ks, T_tries, try_exclude, aff_last, ref_aff,
+                           exposures,
+                           min_res_for_abort, ref_T_wc,
+                           pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
+                           pt_quality, T_wc_stack, aff_stack, exposure_stack,
+                           dI0_stack, ref_idx_per_point, K0,
+                           cutoff_th, huber_th,
+                           coarsest_lvl: int, w: int, h: int, max_level: int,
+                           n_refine: int = 3, use_struct_pose: bool = True,
+                           struct_pose_mad: bool = False,
+                           struct_pose_e_tol: float = 1.5,
+                           struct_pose_max_dt: float = 0.0):
     """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
     best_try) — `try_exclude` masks hypotheses already consumed by a host
     retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
@@ -144,6 +148,15 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
     e_sp = r_sp["E"] / jnp.maximum(r_sp["n"], 1)
     sp_ok = (e_sp <= e_fh * (struct_pose_e_tol * struct_pose_e_tol)) \
         & (r_sp["n"] > 0.5 * r_fh["n"])
+    # absolute bound on the stage's translation: the energies above are
+    # cutoff-CLAMPED, so once the photometric track itself diverges both
+    # poses saturate and the ratio test goes blind — a multi-meter struct
+    # "correction" can pass it (500-frame S-curve f414: sp_dz -10.9 m
+    # accepted with both energies at the clamp). Legitimate corrections
+    # are cm-scale (struct_pose_max_dt=0 disables).
+    sp_dt = jnp.linalg.norm(T_sp[:3, 3] - T_wc_fh[:3, 3])
+    sp_ok = sp_ok & ((struct_pose_max_dt <= 0.0)
+                     | (sp_dt <= struct_pose_max_dt))
     # only adopt the struct pose when enough matches constrain it AND the
     # photometric veto passes
     T_wc_out = jnp.where(use_struct_pose & (n_matched >= 10) & sp_ok,
@@ -158,3 +171,52 @@ def track_frame_step(pools, dI_new_pyr, flat_new, offsets, widths, heights,
                 # while_loop runs every lane until the slowest converges,
                 # so cost = max over refine candidates
                 lvl_iters=jnp.max(trs["lvl_iters"], axis=0))
+
+
+track_frame_step = partial(jax.jit, static_argnames=_TRACK_STATIC)(
+    _track_frame_step_impl)
+
+
+@partial(jax.jit, static_argnames=_TRACK_STATIC)
+def track_frame_step_batch(pools, dI_new_pyr, flat_new, offsets, widths,
+                           heights, Ks, T_tries, try_exclude, aff_last,
+                           ref_aff, exposures, min_res_for_abort, ref_T_wc,
+                           pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
+                           pt_quality, T_wc_stack, aff_stack, exposure_stack,
+                           dI0_stack, ref_idx_per_point, K0,
+                           cutoff_th, huber_th,
+                           struct_pose_e_tol, struct_pose_max_dt,
+                           coarsest_lvl: int, w: int, h: int, max_level: int,
+                           n_refine: int = 3, use_struct_pose: bool = True,
+                           struct_pose_mad: bool = False):
+    """B-sequence fleet tracking: vmap of the whole per-frame track program
+    over a leading batch axis (every traced argument carries one, including
+    the per-sequence scalar thresholds as (B,) arrays).
+
+    The single-sequence track program is per-gather-op-floor bound, not
+    lane bound (ROADMAP round-3 perf findings: halving the track-ref caps
+    moved it 204 -> 193 ms), so folding B sequences into the SAME ops
+    amortizes the dominant cost — the lockstep fleet driver
+    (system.multi.MultiSystem) uses this instead of B separate programs.
+    Under vmap the per-level `lax.while_loop`s run until the slowest
+    sequence converges; iterations become fleet-max, which is the same
+    trade the in-program candidate refinement already makes."""
+    def one(pools_, dI_, flat_, offs_, ws_, hs_, Ks_, tries_, excl_, affl_,
+            refa_, exps_, mra_, refT_, pu_, pv_, pid_, ph_, pty_, pva_, pq_,
+            Tst_, ast_, est_, dI0_, ridx_, K0_, cut_, hub_, etol_, mdt_):
+        return _track_frame_step_impl(
+            pools_, dI_, flat_, offs_, ws_, hs_, Ks_, tries_, excl_, affl_,
+            refa_, exps_, mra_, refT_, pu_, pv_, pid_, ph_, pty_, pva_, pq_,
+            Tst_, ast_, est_, dI0_, ridx_, K0_, cut_, hub_,
+            coarsest_lvl=coarsest_lvl, w=w, h=h, max_level=max_level,
+            n_refine=n_refine, use_struct_pose=use_struct_pose,
+            struct_pose_mad=struct_pose_mad,
+            struct_pose_e_tol=etol_, struct_pose_max_dt=mdt_)
+
+    return jax.vmap(one)(pools, dI_new_pyr, flat_new, offsets, widths,
+                         heights, Ks, T_tries, try_exclude, aff_last,
+                         ref_aff, exposures, min_res_for_abort, ref_T_wc,
+                         pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
+                         pt_quality, T_wc_stack, aff_stack, exposure_stack,
+                         dI0_stack, ref_idx_per_point, K0, cutoff_th,
+                         huber_th, struct_pose_e_tol, struct_pose_max_dt)

@@ -27,6 +27,7 @@ _SCALARS = ("first_coarse_rmse", "current_min_act_dist", "ignore_kf",
 
 
 def save(fs: FullSystem, path: str) -> None:
+    fs.flush()           # finish any pipelined in-flight frame
     fs._sync_immature()  # flush device-resident trace state into the pool
     data = dict(
         order=np.array(fs.order, np.int64),
@@ -55,6 +56,8 @@ def save(fs: FullSystem, path: str) -> None:
         pot=fs.pot_state.get("pot", 3),
         scalars={k: (float(getattr(fs, k)) if not isinstance(getattr(fs, k), bool)
                      else bool(getattr(fs, k))) for k in _SCALARS},
+        # tracked-step veto baseline (recent accepted step lengths)
+        track_step_hist=[float(x) for x in fs._track_step_hist],
     )
     data["meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
@@ -84,6 +87,7 @@ def load(path: str, calib, sensor, settings: Settings | None = None
                   for k, v in sh.items()} for sh in meta["shells"]]
     fs.kf_shells = list(meta["kf_shells"])
     fs.pot_state = {"pot": meta["pot"]}
+    fs._track_step_hist = [float(x) for x in meta.get("track_step_hist", [])]
     sc = meta["scalars"]
     fs.first_coarse_rmse = sc["first_coarse_rmse"]
     fs.current_min_act_dist = sc["current_min_act_dist"]

@@ -174,6 +174,8 @@ class FullSystem:
         self._kf_dev = None            # device-resident active pool mirror
         self._flat_stack = None        # (F, T, 3) flattened window pyramids
         self.track_iters_hist: list = []   # per-frame LM-iteration counts
+        self._track_step_hist: list = []   # accepted per-frame step lengths
+        self._pending = None               # pipelined-mode in-flight frame
         # SDV_SYNC_STAGES=1: block after each device dispatch so the
         # telemetry stage table separates device+dispatch time (stage host_s)
         # from pure link time (sync_s) — profiling only, serializes pipeline
@@ -305,9 +307,73 @@ class FullSystem:
 
     def add_active_frame(self, image: np.ndarray, cloud: np.ndarray,
                          timestamp: float):
-        """Process one frame, resolving every device readback immediately
-        (the single-sequence driver of frame_steps)."""
+        """Process one frame.
+
+        Sequential mode (default, reference `linearizeOperation=true`
+        parity): every device readback resolves immediately.
+
+        Pipelined mode (`Settings.pipelined_frames`, the TPU analog of the
+        reference's tracking/mapping thread overlap,
+        FullSystem.cpp:902-1012): frame N's track program is left running
+        on device when this call returns; frame N+1's host staging (image
+        upload, pyramid/LiDAR dispatch) overlaps it, and N's pose readback
+        + post-track work (trace, keyframe pipeline) happen at the START of
+        processing N+1. Tracking still always uses the latest keyframe
+        state — the deferral point is between staging and tracking — so
+        the trajectory matches sequential mode up to dispatch-order
+        numerics; only host/device overlap changes. `is_lost` and shell
+        poses lag one frame; `flush()` (or `get_trajectory`) drains."""
+        if not (self.s.pipelined_frames and self.initialized
+                and not self.is_lost and len(self.shells) >= 2):
+            self._drain_pending()
+            self._pump(self.frame_steps(image, cloud, timestamp))
+            return
         gen = self.frame_steps(image, cloud, timestamp)
+        pulled = None
+        while True:
+            try:
+                req = gen.send(pulled)
+            except StopIteration:
+                self._drain_pending()
+                return
+            if isinstance(req, dict) and "__stage_barrier__" in req:
+                break
+            with self.telemetry.sync():
+                pulled = jax.device_get(self._dispatch_request(req))
+        # this frame is staged (uploads + pyramid/LiDAR programs enqueued
+        # behind the previous frame's still-running track program); now
+        # resolve the previous frame completely — by the time its track
+        # result is pulled the device has had a full frame of staging time
+        self._drain_pending()
+        if self.is_lost:
+            # the drained frame lost tracking: this frame takes the lost
+            # semantics (keep recording shells with the last pose)
+            gen.close()
+            self.shells[-1]["T_wc"] = self.shells[-2]["T_wc"].copy()
+            self.telemetry.frame_done(False)
+            return
+        try:
+            req = gen.send(None)   # hypotheses + track dispatch descriptor
+            self._pending = (gen, self._dispatch_request(req))
+        except StopIteration:
+            pass
+
+    def _dispatch_request(self, req):
+        """Launch a dispatch-descriptor yield; pass plain pytrees through.
+
+        Descriptors let the DRIVER own program launch: the sequential
+        driver launches immediately, the pipelined driver launches and
+        leaves the program in flight, and the fleet driver
+        (system.multi.MultiSystem) folds B sequences' descriptors into one
+        vmapped program."""
+        if isinstance(req, tuple) and len(req) == 3 \
+                and req[0] == "dispatch_track":
+            from sdv_loam_tpu.ops.frame_step import track_frame_step
+            return self._block(track_frame_step(*req[1], **req[2]))
+        return req
+
+    def _pump(self, gen):
+        """Drive a frame generator to completion, resolving every yield."""
         pulled = None
         while True:
             try:
@@ -315,7 +381,27 @@ class FullSystem:
             except StopIteration:
                 return
             with self.telemetry.sync():
+                pulled = jax.device_get(self._dispatch_request(req))
+
+    def _drain_pending(self):
+        """Resolve the pipelined-mode pending frame (pose readback, trace,
+        keyframe pipeline). Idempotent; no-op in sequential mode."""
+        if self._pending is None:
+            return
+        gen, req = self._pending
+        self._pending = None
+        pulled = None
+        while True:
+            with self.telemetry.sync():
                 pulled = jax.device_get(req)
+            try:
+                req = self._dispatch_request(gen.send(pulled))
+            except StopIteration:
+                return
+
+    def flush(self):
+        """Finish any pipelined in-flight frame (call at sequence end)."""
+        self._drain_pending()
 
     def frame_steps(self, image: np.ndarray, cloud: np.ndarray,
                     timestamp: float):
@@ -337,18 +423,19 @@ class FullSystem:
         with self.telemetry.stage("pyramid"):
             dI, abs_grad = self._block(
                 make_images(jnp.asarray(image, jnp.float32), self.levels))
-        with self.telemetry.stage("lidar"):
-            scan = self._preprocess(cloud)
 
         shell = dict(id=len(self.shells), timestamp=timestamp,
                      T_wc=np.eye(4), aff=np.zeros(2), is_kf=False)
         self.shells.append(shell)
 
-        frame = dict(dI=dI, abs_grad=abs_grad, scan=scan, shell=shell,
+        frame = dict(dI=dI, abs_grad=abs_grad, shell=shell, _cloud=cloud,
                      exposure=1.0, flat=flatten_pyramid(dI))
 
         if not self.initialized:
             # first frame: stash as the initializer frame (setFirstFromLidar)
+            with self.telemetry.stage("lidar"):
+                frame["scan"] = self._preprocess(cloud)
+            del frame["_cloud"]
             self._first_frame = frame
             self.initialized = True
             self.telemetry.frame_done(False)
@@ -356,6 +443,19 @@ class FullSystem:
 
         if len(self.shells) == 2:
             yield from self._initialize_steps()
+
+        # pipelined-mode stage barrier: everything above is staging (no
+        # dependence on the previous frame's state); everything below needs
+        # it. The pipelined driver pauses here, drains the previous frame,
+        # then resumes. Sequential drivers pull an empty payload (free).
+        yield {"__stage_barrier__": True}
+
+        # LiDAR preprocess is NOT staging: its projection bakes in the
+        # BA-optimized calib (self.K0), which the previous frame's keyframe
+        # pipeline may update — running it before the barrier made the
+        # pipelined trajectory diverge from sequential mode.
+        with self.telemetry.stage("lidar"):
+            frame["scan"] = self._preprocess(frame.pop("_cloud"))
 
         with self.telemetry.stage("track"):
             ok = yield from self._track_steps(frame)
@@ -500,9 +600,10 @@ class FullSystem:
     def _track_steps(self, frame):
         """Fused frame tracking: hypothesis ladder + pyramid LM + matcher +
         struct pose in ONE device program (ops.frame_step.track_frame_step).
-        Generator: yields each attempt's device outputs; returns ok.
+        Generator: yields each attempt's dispatch descriptor; the driver
+        launches the program (possibly fleet-batched) and sends back the
+        pulled outputs. Returns ok.
         """
-        from sdv_loam_tpu.ops.frame_step import track_frame_step
         tries = self._motion_hypotheses()
         aff_last = self.shells[-2]["aff"].copy() if len(self.shells) >= 2 \
             else np.zeros(2)
@@ -520,6 +621,10 @@ class FullSystem:
         T_batch[:nt] = stackt.astype(np.float32)
 
         ref_shell = self.shells[self.frame_shell_idx[self.track_ref_slot]]
+        # captured BEFORE the track yield: in pipelined mode the next
+        # frame's shell is appended while this generator is suspended, so
+        # relative indexing after the yield would be off by one
+        prev_shell = self.shells[-2]
         n_window = len(self.order)
         ref_idx = self.pt["host"].copy()
         # findMatchDirect:242-252 window<=2 special case (target = new frame)
@@ -575,21 +680,27 @@ class FullSystem:
             # candidates dominate the track program's device time (~34 ms
             # each, tools/kf_microbench2.py)
             n_refine = self.s.track_refine_candidates
-            out = yield self._block(track_frame_step(
-                self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
-                jnp.asarray(T_batch), jnp.asarray(exclude),
-                jnp.asarray(aff_last, jnp.float32),
-                tc["ref_aff"], tc["exp2"], tc["inf5"], tc["ref_T_wc"],
-                pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
-                tc["T_wc_stack"], tc["aff"],
-                tc["exposure"], self.dI0_stack,
-                ridx_d, tc["K0"],
-                self.s.coarse_cutoff_th, self.s.huber_th,
-                coarsest_lvl=coarsest, w=self.w, h=self.h,
-                max_level=self.levels - 1, n_refine=n_refine,
-                use_struct_pose=self.s.use_struct_pose,
-                struct_pose_mad=self.s.struct_pose_mad,
-                struct_pose_e_tol=self.s.struct_pose_e_tol))
+            # dispatch DESCRIPTOR, not a dispatched program: the driver
+            # launches it (add_active_frame / _drain_pending immediately;
+            # MultiSystem folds all B sequences' descriptors into ONE
+            # vmapped program — the fleet throughput axis)
+            out = yield (
+                "dispatch_track",
+                (self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
+                 jnp.asarray(T_batch), jnp.asarray(exclude),
+                 jnp.asarray(aff_last, jnp.float32),
+                 tc["ref_aff"], tc["exp2"], tc["inf5"], tc["ref_T_wc"],
+                 pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
+                 tc["T_wc_stack"], tc["aff"],
+                 tc["exposure"], self.dI0_stack,
+                 ridx_d, tc["K0"],
+                 self.s.coarse_cutoff_th, self.s.huber_th),
+                dict(coarsest_lvl=coarsest, w=self.w, h=self.h,
+                     max_level=self.levels - 1, n_refine=n_refine,
+                     use_struct_pose=self.s.use_struct_pose,
+                     struct_pose_mad=self.s.struct_pose_mad,
+                     struct_pose_e_tol=self.s.struct_pose_e_tol,
+                     struct_pose_max_dt=self.s.struct_pose_max_dt))
             r0 = float(np.asarray(out["res"])[0])
             o = bool(out["ok"]) and np.isfinite(r0) and \
                 np.isfinite(np.asarray(out["T_wc"])).all()
@@ -628,6 +739,37 @@ class FullSystem:
             T_ref2fh = np.asarray(out["T_ref_to_fh"], np.float64)
             T_wc = np.asarray(out["T_wc"], np.float64)
             aff_fh = np.asarray(out["aff"], np.float64)
+
+        # --- tracked-step sanity veto (robustness deviation, PARITY.md) ---
+        # Once every ladder hypothesis is photometrically wrong, the
+        # coarsest-level scores all sit at the cutoff clamp and the
+        # "winner" is arbitrary — a diverged frame can come back tens of
+        # meters off (500-frame S-curve f414: a 13 m step was accepted and
+        # poisoned the window beyond recovery). A 10 Hz automotive platform
+        # cannot exceed a few x the recent median step; keep the
+        # motion-model (constant-velocity) pose for such frames instead.
+        s = self.s
+        if (ok and s.track_step_veto_m > 0
+                and np.isfinite(prev_shell["T_wc"]).all()
+                and np.isfinite(T_wc).all()):
+            step = float(np.linalg.norm(
+                T_wc[:3, 3] - prev_shell["T_wc"][:3, 3]))
+            hist = self._track_step_hist
+            med = float(np.median(hist[-20:])) if len(hist) >= 5 else 0.0
+            lim = max(s.track_step_veto_x * med, s.track_step_veto_m)
+            if step > lim:
+                T_cv = np.asarray(T_batch[0], np.float64)
+                if abs(np.linalg.det(T_cv)) > 1e-12 and \
+                        np.isfinite(ref_shell["T_wc"]).all():
+                    self.telemetry.counters["track_step_veto"] += 1
+                    T_ref2fh = T_cv
+                    T_wc = ref_shell["T_wc"] @ np.linalg.inv(T_cv)
+                    aff_fh = np.asarray(aff_last, np.float64)
+        if np.isfinite(T_wc).all() \
+                and np.isfinite(prev_shell["T_wc"]).all():
+            self._track_step_hist.append(float(np.linalg.norm(
+                T_wc[:3, 3] - prev_shell["T_wc"][:3, 3])))
+            del self._track_step_hist[:-64]
 
         self.last_coarse_rmse = np.where(np.isfinite(res), res, 100.0)
 
@@ -1157,7 +1299,11 @@ class FullSystem:
             scan["px_u_map"], scan["px_v_map"],
             density, self._next_key(), self.pot_state, self.s,
             cap=self.s.n_select_cap,
-            sub_seed=self.s.seed + len(self.shells))
+            # seeded by the frame's own id, NOT len(self.shells): in
+            # pipelined mode the NEXT frame's shell is already appended
+            # when this runs, and a mode-dependent seed would make the
+            # pipelined trajectory diverge from sequential mode
+            sub_seed=self.s.seed + frame["shell"]["id"] + 1)
         lid_keep = keep & out["finite"]
         xs = out["u"][lid_keep]
         ys = out["v"][lid_keep]
@@ -1172,7 +1318,7 @@ class FullSystem:
                 scan["px_u_map"], scan["px_v_map"],
                 self.s.desired_immature_density, self._next_key(),
                 self.pot_state, self.s, cap=self.s.n_select_cap,
-                sub_seed=self.s.seed + 7919 + len(self.shells))
+                sub_seed=self.s.seed + 7919 + frame["shell"]["id"] + 1)
             # suppress around selected LiDAR points (setMask: ±pot in x,
             # ±1 in y) — vectorized membership test on pixel ids
             pot = self.pot_state.get("pot", 3)
@@ -1428,4 +1574,5 @@ class FullSystem:
 
     def get_trajectory(self) -> np.ndarray:
         """(n, 4, 4) camToWorld per input frame (printResult)."""
+        self._drain_pending()
         return np.stack([sh["T_wc"] for sh in self.shells])

@@ -49,3 +49,26 @@ def test_lockstep_ragged_lengths():
         ms.add_frames([seqA.get(i), seqB.get(i) if i < 4 else None])
     assert len(ms.systems[0].shells) == 6
     assert len(ms.systems[1].shells) == 4
+
+
+def test_batched_track_matches_unbatched():
+    """The vmapped fleet track program (track_frame_step_batch) must give
+    each sequence the same trajectory as per-sequence dispatch (same ops on
+    a leading batch axis; only the fleet-max while_loop iteration counts
+    can differ, which does not change converged results)."""
+    n = 8
+    seqs = [make_sequence(n_frames=n, w=320, h=96, step=0.8,
+                          yaw_rate=yr, lidar_stride=2)
+            for yr in (0.004, 0.012)]
+
+    def run(batch):
+        ms = MultiSystem([FullSystem(seq.calib, seq.sensor, _settings())
+                          for seq in seqs], batch_track=batch)
+        for i in range(n):
+            ms.add_frames([seq.get(i) for seq in seqs])
+        return [fs.get_trajectory() for fs in ms.systems]
+
+    ref = run(False)
+    out = run(True)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(b, a, atol=1e-5)

@@ -73,14 +73,34 @@ if "spmad" in ablate:
 if os.environ.get("SPTOL"):
     _kw["struct_pose_e_tol"] = float(os.environ["SPTOL"])
 s = Settings(**_kw)
-fs = FullSystem(seq.calib, seq.sensor, s)
+# checkpoint replay knobs for fast long-run iteration (the 500-frame
+# S-curve takes ~25 min on the tunneled TPU; a resume from frame ~390
+# replays the collapse regime in ~2 min):
+#   CKPT_SAVE=<frame>  save /tmp/<scene>_ckpt_<frame>.npz at that frame
+#   CKPT_LOAD=<path>   resume from a saved checkpoint (frame index is
+#                      recovered from the checkpoint's shell count)
+_ckpt_save = int(os.environ.get("CKPT_SAVE", "-1"))
+_ckpt_load = os.environ.get("CKPT_LOAD")
+if _ckpt_load:
+    from sdv_loam_tpu.system import checkpoint as _ckpt
+    fs = _ckpt.load(_ckpt_load, seq.calib, seq.sensor, s)
+    _start = len(fs.shells)
+    print(f"resumed from {_ckpt_load} at frame {_start}", flush=True)
+else:
+    fs = FullSystem(seq.calib, seq.sensor, s)
+    _start = 0
 # NOTE: with noba the first 2-3 KFs still run BA (the window<3/<4 iteration
 # boost is hardcoded in _kf_opt_steps) — fine for bisection, drift is later.
 feth0 = fs.fe_th.copy()
 t0 = time.time()
-prev_kf_count = 0
-for i in range(n):
+prev_kf_count = len(fs.kf_shells)
+for i in range(_start, n):
     img, cloud, ts = seq.get(i)
+    if i == _ckpt_save:
+        from sdv_loam_tpu.system import checkpoint as _ckpt
+        _cp = f"/tmp/{scene}_ckpt_{i}.npz"
+        _ckpt.save(fs, _cp)
+        print(f"checkpoint saved: {_cp}", flush=True)
     fs.add_active_frame(img, cloud, ts)
     if "nohm" in ablate:
         fs.HM[:] = 0; fs.bM[:] = 0
