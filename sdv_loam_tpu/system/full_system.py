@@ -206,27 +206,35 @@ class FullSystem:
         round-trip here costs ~0.4 s over the remote-TPU link."""
         return se3.se3_exp_np(self.eps) @ self.T_cw_fej
 
-    def _preprocess(self, cloud: np.ndarray):
-        # bucketed cloud capacity: device cost of the scan pipeline scales
-        # with the padded row count, so pad to the smallest bucket that fits
-        # (each bucket is one compiled program)
-        cap = self._lidar_cap
-        for b in (cap // 4, cap // 2):
-            if cloud.shape[0] <= b:
-                cap = b
-                break
+    def _bucket_cloud(self, cloud: np.ndarray, cap: int | None = None):
+        """Pad a raw cloud to a capacity bucket (each bucket is one
+        compiled program). `cap` overrides the per-cloud bucket choice —
+        the fleet driver forces one shared bucket across B sequences so
+        their scans batch into a single vmapped program."""
+        if cap is None:
+            cap = self._lidar_cap
+            for b in (self._lidar_cap // 4, self._lidar_cap // 2):
+                if cloud.shape[0] <= b:
+                    cap = b
+                    break
         buf = np.zeros((cap, 3), np.float32)
         n = min(cloud.shape[0], cap)
         buf[:n] = cloud[:n]
         mask = np.zeros(cap, bool)
         mask[:n] = True
-        out = self._block(lidar_ops.preprocess_scan(
-            jnp.asarray(buf), jnp.asarray(mask),
-            jnp.asarray(self.sensor.R_cl, jnp.float32),
-            jnp.asarray(self.sensor.t_cl, jnp.float32),
-            float(self.K0[0]), float(self.K0[1]), float(self.K0[2]),
-            float(self.K0[3]), self.w, self.h))
-        return out
+        return buf, mask, cap
+
+    def _lidar_args(self, buf, mask):
+        return (jnp.asarray(buf), jnp.asarray(mask),
+                jnp.asarray(self.sensor.R_cl, jnp.float32),
+                jnp.asarray(self.sensor.t_cl, jnp.float32),
+                jnp.float32(self.K0[0]), jnp.float32(self.K0[1]),
+                jnp.float32(self.K0[2]), jnp.float32(self.K0[3]))
+
+    def _preprocess(self, cloud: np.ndarray):
+        buf, mask, _ = self._bucket_cloud(cloud)
+        return self._block(lidar_ops.preprocess_scan(
+            *self._lidar_args(buf, mask), self.w, self.h))
 
     def _free_pt_rows(self, n):
         free = np.nonzero(~self.pt_valid)[0]
@@ -338,12 +346,11 @@ class FullSystem:
                 return
             if isinstance(req, dict) and "__stage_barrier__" in req:
                 break
-            with self.telemetry.sync():
-                pulled = jax.device_get(self._dispatch_request(req))
-        # this frame is staged (uploads + pyramid/LiDAR programs enqueued
-        # behind the previous frame's still-running track program); now
-        # resolve the previous frame completely — by the time its track
-        # result is pulled the device has had a full frame of staging time
+            pulled = self._resolve_sync(req)
+        # this frame is staged (uploads + pyramid programs enqueued behind
+        # the previous frame's still-running track program); now resolve
+        # the previous frame completely — by the time its track result is
+        # pulled the device has had a full frame of staging time
         self._drain_pending()
         if self.is_lost:
             # the drained frame lost tracking: this frame takes the lost
@@ -352,11 +359,19 @@ class FullSystem:
             self.shells[-1]["T_wc"] = self.shells[-2]["T_wc"].copy()
             self.telemetry.frame_done(False)
             return
-        try:
-            req = gen.send(None)   # hypotheses + track dispatch descriptor
-            self._pending = (gen, self._dispatch_request(req))
-        except StopIteration:
-            pass
+        # resolve post-barrier stages (LiDAR preprocess) until the track
+        # dispatch descriptor appears, launch it, and leave it in flight
+        pulled = None
+        while True:
+            try:
+                req = gen.send(pulled)
+            except StopIteration:
+                return
+            if isinstance(req, tuple) and len(req) == 3 \
+                    and req[0] == "dispatch_track":
+                self._pending = (gen, self._dispatch_request(req))
+                return
+            pulled = self._resolve_sync(req)
 
     def _dispatch_request(self, req):
         """Launch a dispatch-descriptor yield; pass plain pytrees through.
@@ -365,12 +380,31 @@ class FullSystem:
         driver launches immediately, the pipelined driver launches and
         leaves the program in flight, and the fleet driver
         (system.multi.MultiSystem) folds B sequences' descriptors into one
-        vmapped program."""
-        if isinstance(req, tuple) and len(req) == 3 \
-                and req[0] == "dispatch_track":
-            from sdv_loam_tpu.ops.frame_step import track_frame_step
-            return self._block(track_frame_step(*req[1], **req[2]))
+        vmapped program. Returns ("__device__", pytree) for results the
+        generator consumes device-resident (no readback)."""
+        if isinstance(req, tuple) and len(req) == 3:
+            if req[0] == "dispatch_track":
+                from sdv_loam_tpu.ops.frame_step import track_frame_step
+                return self._block(track_frame_step(*req[1], **req[2]))
+            if req[0] == "dispatch_pyramid":
+                return ("__device__", self._block(make_images(
+                    jnp.asarray(req[1][0], jnp.float32), self.levels)))
+            if req[0] == "dispatch_lidar":
+                return ("__device__", self._preprocess(req[1][0]))
         return req
+
+    @staticmethod
+    def _is_device_result(res):
+        return isinstance(res, tuple) and len(res) == 2 \
+            and res[0] == "__device__"
+
+    def _resolve_sync(self, req):
+        """Dispatch + readback (or device pass-through) of one yield."""
+        res = self._dispatch_request(req)
+        if self._is_device_result(res):
+            return res[1]
+        with self.telemetry.sync():
+            return jax.device_get(res)
 
     def _pump(self, gen):
         """Drive a frame generator to completion, resolving every yield."""
@@ -380,8 +414,7 @@ class FullSystem:
                 req = gen.send(pulled)
             except StopIteration:
                 return
-            with self.telemetry.sync():
-                pulled = jax.device_get(self._dispatch_request(req))
+            pulled = self._resolve_sync(req)
 
     def _drain_pending(self):
         """Resolve the pipelined-mode pending frame (pose readback, trace,
@@ -390,14 +423,14 @@ class FullSystem:
             return
         gen, req = self._pending
         self._pending = None
-        pulled = None
+        with self.telemetry.sync():
+            pulled = jax.device_get(req)   # the in-flight track program
         while True:
-            with self.telemetry.sync():
-                pulled = jax.device_get(req)
             try:
-                req = self._dispatch_request(gen.send(pulled))
+                req = gen.send(pulled)
             except StopIteration:
                 return
+            pulled = self._resolve_sync(req)
 
     def flush(self):
         """Finish any pipelined in-flight frame (call at sequence end)."""
@@ -421,8 +454,9 @@ class FullSystem:
             return
 
         with self.telemetry.stage("pyramid"):
-            dI, abs_grad = self._block(
-                make_images(jnp.asarray(image, jnp.float32), self.levels))
+            # descriptor: the fleet driver folds B sequences' pyramids into
+            # one vmapped program; results stay device-resident
+            dI, abs_grad = yield ("dispatch_pyramid", (image,), {})
 
         shell = dict(id=len(self.shells), timestamp=timestamp,
                      T_wc=np.eye(4), aff=np.zeros(2), is_kf=False)
@@ -455,7 +489,8 @@ class FullSystem:
         # pipeline may update — running it before the barrier made the
         # pipelined trajectory diverge from sequential mode.
         with self.telemetry.stage("lidar"):
-            frame["scan"] = self._preprocess(frame.pop("_cloud"))
+            frame["scan"] = yield ("dispatch_lidar",
+                                   (frame.pop("_cloud"),), {})
 
         with self.telemetry.stage("track"):
             ok = yield from self._track_steps(frame)

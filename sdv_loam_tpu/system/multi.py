@@ -28,9 +28,11 @@ import numpy as np
 _BATCH_TOLS = ("struct_pose_e_tol", "struct_pose_max_dt")
 
 
-def _is_track(req):
-    return isinstance(req, tuple) and len(req) == 3 \
-        and req[0] == "dispatch_track"
+def _kind(req):
+    if isinstance(req, tuple) and len(req) == 3 and isinstance(req[0], str) \
+            and req[0].startswith("dispatch_"):
+        return req[0]
+    return None
 
 
 def _leaf_shapes(args):
@@ -75,43 +77,86 @@ class MultiSystem:
             to_send = self._resolve(reqs)
 
     def _resolve(self, reqs):
-        """Dispatch + pull one lockstep round of requests."""
-        batch_ids, batch_out = [], None
+        """Dispatch + pull one lockstep round of requests.
+
+        Aligned same-kind descriptors batch into one vmapped program:
+        track results are pulled (the generators consume host values),
+        pyramid/LiDAR results stay device-resident (sliced lazy views per
+        sequence). Misaligned or odd-shaped requests fall back to
+        per-sequence dispatch."""
+        out = {}
+        track_ids, batch_out = [], None
         if self.batch_track:
-            track_ids = [i for i, r in reqs.items() if _is_track(r)]
-            if len(track_ids) >= 2:
-                kw0 = reqs[track_ids[0]][2]
-                sh0 = _leaf_shapes(reqs[track_ids[0]][1])
-                if all(reqs[i][2] == kw0
-                       and _leaf_shapes(reqs[i][1]) == sh0
-                       for i in track_ids[1:]):
-                    batch_ids = track_ids
-                    batch_out = self._dispatch_batch(
-                        [reqs[i] for i in track_ids], kw0)
+            track_ids, batch_out = self._try_batch_track(reqs)
+            for kind, fn in (("dispatch_pyramid", self._batch_pyramid),
+                             ("dispatch_lidar", self._batch_lidar)):
+                ids = [i for i, r in reqs.items() if _kind(r) == kind]
+                if len(ids) >= 2:
+                    dev = fn([reqs[i] for i in ids], ids)
+                    for j, i in enumerate(ids):
+                        out[i] = jax.tree.map(lambda x, j=j: x[j], dev)
+                        reqs.pop(i)
         singles = {}
         for i, r in reqs.items():
-            if i not in batch_ids:
-                singles[i] = self.systems[i]._dispatch_request(r)
-        tele = self.systems[min(reqs)].telemetry
+            if i in track_ids:
+                continue
+            res = self.systems[i]._dispatch_request(r)
+            if self.systems[i]._is_device_result(res):
+                out[i] = res[1]
+            else:
+                singles[i] = res
+        tele = self.systems[0].telemetry
         with tele.sync():
             pulled, bpulled = jax.device_get((singles, batch_out))
-        out = dict(pulled)
-        for j, i in enumerate(batch_ids):
+        out.update(pulled)
+        for j, i in enumerate(track_ids):
             out[i] = jax.tree.map(lambda x, j=j: x[j], bpulled)
         return out
 
-    @staticmethod
-    def _dispatch_batch(track_reqs, kw):
-        """One vmapped track program over the B aligned descriptors."""
+    def _try_batch_track(self, reqs):
+        track_ids = [i for i, r in reqs.items()
+                     if _kind(r) == "dispatch_track"]
+        if len(track_ids) < 2:
+            return [], None
+        kw0 = reqs[track_ids[0]][2]
+        sh0 = _leaf_shapes(reqs[track_ids[0]][1])
+        if not all(reqs[i][2] == kw0 and _leaf_shapes(reqs[i][1]) == sh0
+                   for i in track_ids[1:]):
+            return [], None
         from sdv_loam_tpu.ops.frame_step import track_frame_step_batch
+        track_reqs = [reqs[i] for i in track_ids]
         args = jax.tree.map(lambda *xs: jnp.stack(
             [jnp.asarray(x) for x in xs]), *[r[1] for r in track_reqs])
         etol = jnp.asarray([np.float32(r[2]["struct_pose_e_tol"])
                             for r in track_reqs])
         mdt = jnp.asarray([np.float32(r[2]["struct_pose_max_dt"])
                            for r in track_reqs])
-        statics = {k: v for k, v in kw.items() if k not in _BATCH_TOLS}
-        return track_frame_step_batch(*args, etol, mdt, **statics)
+        statics = {k: v for k, v in kw0.items() if k not in _BATCH_TOLS}
+        return track_ids, track_frame_step_batch(*args, etol, mdt, **statics)
+
+    def _batch_pyramid(self, preqs, ids):
+        """One vmapped pyramid program over the aligned image descriptors."""
+        from sdv_loam_tpu.ops.pyramid import make_images
+        levels = self.systems[ids[0]].levels
+        assert all(self.systems[i].levels == levels for i in ids)
+        imgs = jnp.stack([jnp.asarray(r[1][0], jnp.float32) for r in preqs])
+        return jax.vmap(lambda im: make_images(im, levels))(imgs)
+
+    def _batch_lidar(self, lreqs, ids):
+        """One vmapped scan-preprocess program, fleet-shared cloud bucket."""
+        from sdv_loam_tpu.ops.lidar import preprocess_scan
+        systems = [self.systems[i] for i in ids]
+        w, h = systems[0].w, systems[0].h
+        assert all(fs.w == w and fs.h == h for fs in systems)
+        cap = max(fs._bucket_cloud(r[1][0])[2]
+                  for fs, r in zip(systems, lreqs))
+        args = []
+        for fs, r in zip(systems, lreqs):
+            buf, mask, _ = fs._bucket_cloud(r[1][0], cap)
+            args.append(fs._lidar_args(buf, mask))
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *args)
+        return jax.vmap(
+            lambda *a: preprocess_scan(*a, w=w, h=h))(*stacked)
 
     @property
     def any_lost(self):
