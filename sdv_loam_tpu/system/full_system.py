@@ -391,6 +391,10 @@ class FullSystem:
                     jnp.asarray(req[1][0], jnp.float32), self.levels)))
             if req[0] == "dispatch_lidar":
                 return ("__device__", self._preprocess(req[1][0]))
+            if req[0] == "dispatch_kf_opt":
+                from sdv_loam_tpu.system.kf_ops import kf_opt_step
+                return ("__device__",
+                        self._block(kf_opt_step(*req[1], **req[2])))
         return req
 
     @staticmethod
@@ -1110,8 +1114,14 @@ class FullSystem:
         nf_live = int((self.pt_valid & (self.pt["host"] == slot)).sum())
         p2_cap = next((c for c in (512, 1024, 2048) if nf_live <= c), N)
 
-        def dispatch(iters_):
-            return self._block(kf_opt_step(
+        statics = dict(
+            n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
+            levels=self.levels, track_ref_cap=s.track_ref_caps,
+            gate_refresh=s.ba_gate_refresh,
+            resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap)
+
+        def kf_args(iters_):
+            return (
                 jnp.asarray(self.T_cw_fej, jnp.float32),
                 jnp.asarray(self.eps, jnp.float32),
                 jnp.asarray(self.K0), jnp.asarray(self.K0),
@@ -1144,11 +1154,10 @@ class FullSystem:
                 jnp.asarray(prior_marg), jnp.float32(s.marg_weight_fac),
                 jnp.int32(s.min_good_active_res_for_marg),
                 jnp.int32(s.min_good_res_for_marg),
-                jnp.float32(s.min_idepth_h_marg),
-                n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
-                levels=self.levels, track_ref_cap=s.track_ref_caps,
-                gate_refresh=s.ba_gate_refresh,
-                resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap))
+                jnp.float32(s.min_idepth_h_marg))
+
+        def dispatch(iters_):
+            return self._block(kf_opt_step(*kf_args(iters_), **statics))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",
@@ -1157,7 +1166,10 @@ class FullSystem:
                      "match_overflow"]
         if s.log_stuff:
             pull_keys += ["H_final", "b_final", "nullspaces", "rmse"]
-        out = dispatch(iters)
+        # dispatch DESCRIPTOR: the fleet driver (MultiSystem) folds aligned
+        # KF rounds from several sequences into ONE vmapped program
+        # (kf_ops.kf_opt_step_batch); the result stays device-resident
+        out = yield ("dispatch_kf_opt", kf_args(iters), statics)
         small = yield {k: out[k] for k in pull_keys}
 
         # --- BA step sanity veto (robustness deviation, PARITY.md) ---

@@ -135,11 +135,7 @@ def activate_full(
                 im_valid=im_valid_new, im_status=im_status_new)
 
 
-@partial(jax.jit, static_argnames=("n_frames", "w", "h", "max_level",
-                                   "levels", "track_ref_cap",
-                                   "gate_refresh", "resf_at_fej",
-                                   "p1_cap", "p2_cap"))
-def kf_opt_step(
+def _kf_opt_step_impl(
         # window state
         T_cw_fej, eps, calib, calib_zero, frame_valid, frame_prior, c_prior,
         aff, exposure, HM, bM, newest, frame_energy_th, slot_flagged,
@@ -349,6 +345,40 @@ def kf_opt_step(
         # device-resident consumers
         track_ref=track_ref,
     )
+
+
+_KF_STATICS = ("n_frames", "w", "h", "max_level", "levels", "track_ref_cap",
+               "gate_refresh", "resf_at_fej", "p1_cap", "p2_cap")
+
+kf_opt_step = partial(jax.jit, static_argnames=_KF_STATICS)(_kf_opt_step_impl)
+
+
+@partial(jax.jit, static_argnames=_KF_STATICS)
+def kf_opt_step_batch(*args,
+                      n_frames: int, w: int, h: int, max_level: int,
+                      levels: int, track_ref_cap=16384,
+                      gate_refresh: bool = False, resf_at_fej: bool = True,
+                      p1_cap: int = 0, p2_cap: int = 0):
+    """B-sequence fleet keyframe tail: vmap of the whole kf_opt_step program
+    over a leading batch axis (every traced argument carries one, including
+    per-sequence scalars like `newest` and `max_iters`).
+
+    The single-sequence program is dominated by per-gather-op floors in the
+    matcher passes and the track-ref rebuild (ROADMAP round-3 perf
+    findings: pass2 ~265 + pass1 ~183 + track_ref ~172 ms with ba_core
+    itself at 30 ms), so folding B sequences into the SAME ops amortizes
+    the dominant cost — the lockstep fleet driver uses this instead of B
+    separate programs. Under vmap the LM `lax.while_loop` runs fleet-max
+    iterations with converged lanes' carries masked (bit-identical
+    results)."""
+    def one(*a):
+        return _kf_opt_step_impl(
+            *a, n_frames=n_frames, w=w, h=h, max_level=max_level,
+            levels=levels, track_ref_cap=track_ref_cap,
+            gate_refresh=gate_refresh, resf_at_fej=resf_at_fej,
+            p1_cap=p1_cap, p2_cap=p2_cap)
+
+    return jax.vmap(one)(*args)
 
 
 POOL_FIELDS = ("u", "v", "idepth", "host", "color", "weights", "is_sensor",

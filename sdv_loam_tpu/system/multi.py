@@ -39,6 +39,14 @@ def _leaf_shapes(args):
     return tuple(getattr(x, "shape", ()) for x in jax.tree.leaves(args))
 
 
+@jax.jit
+def _slice_lane(tree, j):
+    """Extract one batch lane from a batched result pytree in ONE device
+    program (per-leaf host slicing would dispatch ~30 tiny programs per
+    sequence at ~5 ms streamed overhead each, CLAUDE.md perf notes)."""
+    return jax.tree.map(lambda x: x[j], tree)
+
+
 class MultiSystem:
     """Drive B FullSystem instances in stage-lockstep."""
 
@@ -96,6 +104,14 @@ class MultiSystem:
                     for j, i in enumerate(ids):
                         out[i] = jax.tree.map(lambda x, j=j: x[j], dev)
                         reqs.pop(i)
+            kf_ids = [i for i, r in reqs.items()
+                      if _kind(r) == "dispatch_kf_opt"]
+            if len(kf_ids) >= 2:
+                dev = self._batch_kf_opt([reqs[i] for i in kf_ids])
+                if dev is not None:
+                    for j, i in enumerate(kf_ids):
+                        out[i] = _slice_lane(dev, jnp.int32(j))
+                        reqs.pop(i)
         singles = {}
         for i, r in reqs.items():
             if i in track_ids:
@@ -133,6 +149,35 @@ class MultiSystem:
                            for r in track_reqs])
         statics = {k: v for k, v in kw0.items() if k not in _BATCH_TOLS}
         return track_ids, track_frame_step_batch(*args, etol, mdt, **statics)
+
+    def _batch_kf_opt(self, kreqs):
+        """Fold aligned keyframe-tail descriptors into ONE vmapped
+        kf_opt_step program (the per-sequence program is per-gather-op-floor
+        bound; B keyframes inside the same ops cost far less than B
+        programs). Lane-cap statics are widened to the fleet max — a larger
+        cap is a strict superset (more matcher lanes than needed), so the
+        per-lane results are unchanged. Returns None when the requests are
+        not shape/static-compatible (caller falls back to per-sequence
+        dispatch)."""
+        sh0 = _leaf_shapes(kreqs[0][1])
+        if not all(_leaf_shapes(r[1]) == sh0 for r in kreqs[1:]):
+            return None
+        caps = ("p1_cap", "p2_cap")
+        statics = dict(kreqs[0][2])
+        for r in kreqs[1:]:
+            st = r[2]
+            if {k: v for k, v in st.items() if k not in caps} != \
+                    {k: v for k, v in statics.items() if k not in caps}:
+                return None
+            for c in caps:
+                a, b = statics.get(c, 0), st.get(c, 0)
+                # cap 0 = "fraction-of-pool default", the widest setting
+                statics[c] = 0 if (a == 0 or b == 0) else max(a, b)
+        from sdv_loam_tpu.system.kf_ops import kf_opt_step_batch
+        args = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[r[1] for r in kreqs])
+        return kf_opt_step_batch(*args, **statics)
 
     def _batch_pyramid(self, preqs, ids):
         """One vmapped pyramid program over the aligned image descriptors."""
