@@ -395,6 +395,10 @@ class FullSystem:
                 from sdv_loam_tpu.system.kf_ops import kf_opt_step
                 return ("__device__",
                         self._block(kf_opt_step(*req[1], **req[2])))
+            if req[0] == "dispatch_activate":
+                from sdv_loam_tpu.system.kf_ops import activate_full
+                return ("__device__",
+                        self._block(activate_full(*req[1], **req[2])))
         return req
 
     @staticmethod
@@ -1469,7 +1473,6 @@ class FullSystem:
 
         # --- the whole stage (distance map + eligibility + spread test +
         # activation GN) is ONE device program with ONE readback ---
-        from sdv_loam_tpu.system.kf_ops import activate_full
         T_cw = self.T_cw
         T_new = T_cw[newest_slot]
         w1, h1 = self.calib.w[1], self.calib.h[1]
@@ -1491,27 +1494,30 @@ class FullSystem:
         im = self.im
         pool_im = self._im_pool_dev()
         pool_pt = self._kf_dev_pool()
-        dev = self._block(activate_full(
-            pool_im,
-            pool_pt["u"], pool_pt["v"],
-            pool_pt["idepth"], pool_pt["host"],
-            pool_pt["pt_valid"],
-            jnp.int32(newest_slot), jnp.asarray(self.slot_used),
-            jnp.asarray(self.slot_flagged),
-            jnp.asarray(KRKi1), jnp.asarray(Kt1),
-            jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
-            self.dI0_stack, jnp.asarray(self.K0),
-            jnp.float32(self.current_min_act_dist),
-            jnp.float32(s.min_trace_quality),
-            jnp.float32(s.min_idepth_h_act),
-            w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
-            # bucket the activation-lane cap to the live immature count
-            # (its strict upper bound): the activation GN's content is
-            # proportional to a_cap, and the pool is typically ~25% full
-            # (short bucket ladder -> bounded compile variants)
-            a_cap=next((c for c in (512, 1024, 2048)
-                        if int(self.im_valid.sum()) <= c), self.M),
-            gn_iters=s.gn_its_on_point_activation))
+        # dispatch DESCRIPTOR (fleet driver folds aligned sequences' rounds
+        # into one vmapped program, kf_ops.activate_full_batch)
+        dev = yield (
+            "dispatch_activate",
+            (pool_im,
+             pool_pt["u"], pool_pt["v"],
+             pool_pt["idepth"], pool_pt["host"],
+             pool_pt["pt_valid"],
+             jnp.int32(newest_slot), jnp.asarray(self.slot_used),
+             jnp.asarray(self.slot_flagged),
+             jnp.asarray(KRKi1), jnp.asarray(Kt1),
+             jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
+             self.dI0_stack, jnp.asarray(self.K0),
+             jnp.float32(self.current_min_act_dist),
+             jnp.float32(s.min_trace_quality),
+             jnp.float32(s.min_idepth_h_act)),
+            dict(w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
+                 # bucket the activation-lane cap to the live immature count
+                 # (its strict upper bound): the activation GN's content is
+                 # proportional to a_cap, and the pool is typically ~25% full
+                 # (short bucket ladder -> bounded compile variants)
+                 a_cap=next((c for c in (512, 1024, 2048)
+                             if int(self.im_valid.sum()) <= c), self.M),
+                 gn_iters=s.gn_its_on_point_activation))
         # chain the in-program pool removals; host bookkeeping below applies
         # the identical updates to the host mirror
         self._im_pool = dict(pool_im, im_valid=dev["im_valid"],

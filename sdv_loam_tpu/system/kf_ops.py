@@ -30,9 +30,7 @@ from sdv_loam_tpu.ops.photometric import build_track_ref, splat_idepth
 from sdv_loam_tpu.utils import se3
 
 
-@partial(jax.jit, static_argnames=("w", "h", "w1", "h1", "n_frames", "a_cap",
-                                   "gn_iters"))
-def activate_full(
+def _activate_full_impl(
         # immature pool: device-resident dict (IM_FIELDS + im_valid)
         im,
         # active pool (distance-map seeds)
@@ -345,6 +343,25 @@ def _kf_opt_step_impl(
         # device-resident consumers
         track_ref=track_ref,
     )
+
+
+_ACT_STATICS = ("w", "h", "w1", "h1", "n_frames", "a_cap", "gn_iters")
+
+activate_full = partial(jax.jit,
+                        static_argnames=_ACT_STATICS)(_activate_full_impl)
+
+
+@partial(jax.jit, static_argnames=_ACT_STATICS)
+def activate_full_batch(*args, w: int, h: int, w1: int, h1: int,
+                        n_frames: int, a_cap: int, gn_iters: int = 3):
+    """B-sequence fleet activation: vmap of activate_full over a leading
+    batch axis (see kf_opt_step_batch for the amortization rationale)."""
+    def one(*a):
+        return _activate_full_impl(*a, w=w, h=h, w1=w1, h1=h1,
+                                   n_frames=n_frames, a_cap=a_cap,
+                                   gn_iters=gn_iters)
+
+    return jax.vmap(one)(*args)
 
 
 _KF_STATICS = ("n_frames", "w", "h", "max_level", "levels", "track_ref_cap",

@@ -104,12 +104,13 @@ class MultiSystem:
                     for j, i in enumerate(ids):
                         out[i] = jax.tree.map(lambda x, j=j: x[j], dev)
                         reqs.pop(i)
-            kf_ids = [i for i, r in reqs.items()
-                      if _kind(r) == "dispatch_kf_opt"]
-            if len(kf_ids) >= 2:
-                dev = self._batch_kf_opt([reqs[i] for i in kf_ids])
+            for kind in ("dispatch_kf_opt", "dispatch_activate"):
+                ids = [i for i, r in reqs.items() if _kind(r) == kind]
+                if len(ids) < 2:
+                    continue
+                dev = self._batch_fused(kind, [reqs[i] for i in ids])
                 if dev is not None:
-                    for j, i in enumerate(kf_ids):
+                    for j, i in enumerate(ids):
                         out[i] = _slice_lane(dev, jnp.int32(j))
                         reqs.pop(i)
         singles = {}
@@ -150,19 +151,26 @@ class MultiSystem:
         statics = {k: v for k, v in kw0.items() if k not in _BATCH_TOLS}
         return track_ids, track_frame_step_batch(*args, etol, mdt, **statics)
 
-    def _batch_kf_opt(self, kreqs):
-        """Fold aligned keyframe-tail descriptors into ONE vmapped
-        kf_opt_step program (the per-sequence program is per-gather-op-floor
-        bound; B keyframes inside the same ops cost far less than B
-        programs). Lane-cap statics are widened to the fleet max — a larger
-        cap is a strict superset (more matcher lanes than needed), so the
+    def _batch_fused(self, kind, kreqs):
+        """Fold aligned keyframe-stage descriptors into ONE vmapped program
+        (the per-sequence programs are per-gather-op-floor bound; B
+        keyframes inside the same ops cost far less than B programs).
+        Lane-cap statics are widened to the fleet max — a larger cap is a
+        strict superset (more compaction lanes than needed), so the
         per-lane results are unchanged. Returns None when the requests are
         not shape/static-compatible (caller falls back to per-sequence
         dispatch)."""
+        from sdv_loam_tpu.system import kf_ops
+        batch_fn, caps = {
+            # cap statics widenable per kind; 0 = fraction-of-pool default,
+            # the widest setting (kf_opt lane_cap semantics)
+            "dispatch_kf_opt": (kf_ops.kf_opt_step_batch,
+                                ("p1_cap", "p2_cap")),
+            "dispatch_activate": (kf_ops.activate_full_batch, ("a_cap",)),
+        }[kind]
         sh0 = _leaf_shapes(kreqs[0][1])
         if not all(_leaf_shapes(r[1]) == sh0 for r in kreqs[1:]):
             return None
-        caps = ("p1_cap", "p2_cap")
         statics = dict(kreqs[0][2])
         for r in kreqs[1:]:
             st = r[2]
@@ -171,13 +179,11 @@ class MultiSystem:
                 return None
             for c in caps:
                 a, b = statics.get(c, 0), st.get(c, 0)
-                # cap 0 = "fraction-of-pool default", the widest setting
                 statics[c] = 0 if (a == 0 or b == 0) else max(a, b)
-        from sdv_loam_tpu.system.kf_ops import kf_opt_step_batch
         args = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
             *[r[1] for r in kreqs])
-        return kf_opt_step_batch(*args, **statics)
+        return batch_fn(*args, **statics)
 
     def _batch_pyramid(self, preqs, ids):
         """One vmapped pyramid program over the aligned image descriptors."""
