@@ -248,14 +248,12 @@ def select_cascade(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
     return status.reshape(hp, wp)[:h, :w], counts
 
 
-@partial(jax.jit, static_argnames=("pot", "cap",
-                                   "select_direction_distribution"))
-def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, px_u_map,
-                   px_v_map, key,
-                   pot: int, cap: int, th_factor: float = 1.0,
-                   min_grad_hist_cut: float = 0.5,
-                   min_grad_hist_add: float = 3.0,
-                   grad_downweight_per_level: float = 0.75,
+def _select_compact_impl(dI0, ag0, ag1, ag2, cand_mask, depth_map, px_u_map,
+                   px_v_map, key, th_factor=1.0,
+                   min_grad_hist_cut=0.5,
+                   min_grad_hist_add=3.0,
+                   grad_downweight_per_level=0.75, *,
+                   pot: int, cap: int,
                    select_direction_distribution: bool = True):
     """Whole selection stage as ONE device program with compacted output.
 
@@ -311,6 +309,27 @@ def select_compact(dI0, ag0, ag1, ag2, cand_mask, depth_map, px_u_map,
                 finite=finite & valid, gcen=gcen, score=score, z=z)
 
 
+_SELECT_STATICS = ("pot", "cap", "select_direction_distribution")
+
+select_compact = partial(jax.jit,
+                         static_argnames=_SELECT_STATICS)(
+                             _select_compact_impl)
+
+
+@partial(jax.jit, static_argnames=_SELECT_STATICS)
+def select_compact_batch(*args, pot: int, cap: int,
+                         select_direction_distribution: bool = True):
+    """B-sequence fleet selection: vmap of select_compact over a leading
+    batch axis (the fleet driver folds aligned keyframe selection rounds
+    into one program; see kf_ops.kf_opt_step_batch for the rationale)."""
+    def one(*a):
+        return _select_compact_impl(
+            *a, pot=pot, cap=cap,
+            select_direction_distribution=select_direction_distribution)
+
+    return jax.vmap(one)(*args)
+
+
 def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
                             px_v_map, density, key,
                             pot_state: dict, settings: Settings, cap: int,
@@ -324,12 +343,19 @@ def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
     pot = max(1, int(pot_state.get("pot", 3)))
 
     for recursion in range(2):
-        out = yield select_compact(
-            dI0, abs_grads[0], abs_grads[1], abs_grads[2], cand_mask,
-            depth_map, px_u_map, px_v_map, key, pot, cap, th_factor,
-            settings.min_grad_hist_cut, settings.min_grad_hist_add,
-            settings.grad_downweight_per_level,
-            settings.select_direction_distribution)
+        # dispatch DESCRIPTOR: the fleet driver folds aligned sequences'
+        # selection rounds into one vmapped program (select_compact_batch);
+        # single-sequence drivers dispatch select_compact directly
+        out = yield (
+            "dispatch_select",
+            (dI0, abs_grads[0], abs_grads[1], abs_grads[2], cand_mask,
+             depth_map, px_u_map, px_v_map, key,
+             jnp.float32(th_factor),
+             jnp.float32(settings.min_grad_hist_cut),
+             jnp.float32(settings.min_grad_hist_add),
+             jnp.float32(settings.grad_downweight_per_level)),
+            dict(pot=pot, cap=cap, select_direction_distribution=
+                 settings.select_direction_distribution))
         num_have = float(out["counts"].sum())
         quotia = density / max(num_have, 1.0)
         K = num_have * (pot + 1) * (pot + 1)
@@ -360,6 +386,9 @@ def make_maps_compact(*args, **kw):
             req = gen.send(pulled)
         except StopIteration as stop:
             return stop.value
+        if isinstance(req, tuple) and len(req) == 3 \
+                and req[0] == "dispatch_select":
+            req = select_compact(*req[1], **req[2])
         pulled = jax.device_get(req)
 
 

@@ -399,6 +399,9 @@ class FullSystem:
                 from sdv_loam_tpu.system.kf_ops import activate_full
                 return ("__device__",
                         self._block(activate_full(*req[1], **req[2])))
+            if req[0] == "dispatch_select":
+                from sdv_loam_tpu.ops.select import select_compact
+                return self._block(select_compact(*req[1], **req[2]))
         return req
 
     @staticmethod

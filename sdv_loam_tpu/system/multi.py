@@ -93,9 +93,23 @@ class MultiSystem:
         sequence). Misaligned or odd-shaped requests fall back to
         per-sequence dispatch."""
         out = {}
-        track_ids, batch_out = [], None
+        pull_batches = []       # [(ids, batched device result)] — results
+        # the generators consume as HOST values: pulled in the shared
+        # device_get below, then host-sliced per lane
         if self.batch_track:
-            track_ids, batch_out = self._try_batch_track(reqs)
+            ids, dev = self._try_batch_track(reqs)
+            if ids:
+                pull_batches.append((ids, dev))
+                for i in ids:
+                    reqs.pop(i)
+            ids = [i for i, r in reqs.items()
+                   if _kind(r) == "dispatch_select"]
+            if len(ids) >= 2:
+                dev = self._try_batch_select([reqs[i] for i in ids])
+                if dev is not None:
+                    pull_batches.append((ids, dev))
+                    for i in ids:
+                        reqs.pop(i)
             for kind, fn in (("dispatch_pyramid", self._batch_pyramid),
                              ("dispatch_lidar", self._batch_lidar)):
                 ids = [i for i, r in reqs.items() if _kind(r) == kind]
@@ -115,8 +129,6 @@ class MultiSystem:
                         reqs.pop(i)
         singles = {}
         for i, r in reqs.items():
-            if i in track_ids:
-                continue
             res = self.systems[i]._dispatch_request(r)
             if self.systems[i]._is_device_result(res):
                 out[i] = res[1]
@@ -124,10 +136,11 @@ class MultiSystem:
                 singles[i] = res
         tele = self.systems[0].telemetry
         with tele.sync():
-            pulled, bpulled = jax.device_get((singles, batch_out))
+            pulled, bpulled = jax.device_get((singles, pull_batches))
         out.update(pulled)
-        for j, i in enumerate(track_ids):
-            out[i] = jax.tree.map(lambda x, j=j: x[j], bpulled)
+        for ids, bp in bpulled:
+            for j, i in enumerate(ids):
+                out[i] = jax.tree.map(lambda x, j=j: x[j], bp)
         return out
 
     def _try_batch_track(self, reqs):
@@ -150,6 +163,21 @@ class MultiSystem:
                            for r in track_reqs])
         statics = {k: v for k, v in kw0.items() if k not in _BATCH_TOLS}
         return track_ids, track_frame_step_batch(*args, etol, mdt, **statics)
+
+    def _try_batch_select(self, sreqs):
+        """One vmapped selection program over aligned keyframe selection
+        descriptors. The density-feedback `pot` is a compile-time static
+        that can differ between sequences — batching requires equal
+        statics (usually true in steady state); otherwise fall back."""
+        sh0 = _leaf_shapes(sreqs[0][1])
+        if not all(r[2] == sreqs[0][2] and _leaf_shapes(r[1]) == sh0
+                   for r in sreqs[1:]):
+            return None
+        from sdv_loam_tpu.ops.select import select_compact_batch
+        args = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[r[1] for r in sreqs])
+        return select_compact_batch(*args, **sreqs[0][2])
 
     def _batch_fused(self, kind, kreqs):
         """Fold aligned keyframe-stage descriptors into ONE vmapped program
