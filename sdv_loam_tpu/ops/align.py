@@ -55,8 +55,10 @@ def flatten_pyramid(dI_pyr):
     offsets = np.cumsum([0] + [p.shape[0] * p.shape[1] for p in dI_pyr[:-1]])
     widths = np.array([p.shape[1] for p in dI_pyr], np.int32)
     heights = np.array([p.shape[0] for p in dI_pyr], np.int32)
-    return (_concat_levels(tuple(dI_pyr)), jnp.asarray(offsets, jnp.int32),
-            jnp.asarray(widths), jnp.asarray(heights))
+    # numpy-typed on purpose: consumers are jit programs that transfer at
+    # dispatch; eager jnp wrapping costs one device program per array
+    return (_concat_levels(tuple(dI_pyr)), np.asarray(offsets, np.int32),
+            np.asarray(widths), np.asarray(heights))
 
 
 def _flat_bilinear(flat, base, w, x, y):

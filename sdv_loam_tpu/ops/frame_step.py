@@ -178,14 +178,7 @@ track_frame_step = partial(jax.jit, static_argnames=_TRACK_STATIC)(
 
 
 @partial(jax.jit, static_argnames=_TRACK_STATIC)
-def track_frame_step_batch(pools, dI_new_pyr, flat_new, offsets, widths,
-                           heights, Ks, T_tries, try_exclude, aff_last,
-                           ref_aff, exposures, min_res_for_abort, ref_T_wc,
-                           pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
-                           pt_quality, T_wc_stack, aff_stack, exposure_stack,
-                           dI0_stack, ref_idx_per_point, K0,
-                           cutoff_th, huber_th,
-                           struct_pose_e_tol, struct_pose_max_dt,
+def track_frame_step_batch(args_b, etol_b, mdt_b,
                            coarsest_lvl: int, w: int, h: int, max_level: int,
                            n_refine: int = 3, use_struct_pose: bool = True,
                            struct_pose_mad: bool = False):
@@ -200,23 +193,20 @@ def track_frame_step_batch(pools, dI_new_pyr, flat_new, offsets, widths,
     (system.multi.MultiSystem) uses this instead of B separate programs.
     Under vmap the per-level `lax.while_loop`s run until the slowest
     sequence converges; iterations become fleet-max, which is the same
-    trade the in-program candidate refinement already makes."""
-    def one(pools_, dI_, flat_, offs_, ws_, hs_, Ks_, tries_, excl_, affl_,
-            refa_, exps_, mra_, refT_, pu_, pv_, pid_, ph_, pty_, pva_, pq_,
-            Tst_, ast_, est_, dI0_, ridx_, K0_, cut_, hub_, etol_, mdt_):
+    trade the in-program candidate refinement already makes.
+
+    `args_b`: tuple over B sequences of per-lane positional-arg tuples;
+    `etol_b`/`mdt_b`: (B,) per-sequence struct-pose thresholds. Stacking
+    happens INSIDE the jit so it fuses into the batched program instead
+    of dispatching ~30 eager stack ops per frame round (each eager op is
+    its own ~5 ms device program over the tunnel, CLAUDE.md)."""
+    args = jax.tree.map(lambda *xs: jnp.stack(xs), *args_b)
+
+    def one(etol_, mdt_, *a):
         return _track_frame_step_impl(
-            pools_, dI_, flat_, offs_, ws_, hs_, Ks_, tries_, excl_, affl_,
-            refa_, exps_, mra_, refT_, pu_, pv_, pid_, ph_, pty_, pva_, pq_,
-            Tst_, ast_, est_, dI0_, ridx_, K0_, cut_, hub_,
-            coarsest_lvl=coarsest_lvl, w=w, h=h, max_level=max_level,
+            *a, coarsest_lvl=coarsest_lvl, w=w, h=h, max_level=max_level,
             n_refine=n_refine, use_struct_pose=use_struct_pose,
             struct_pose_mad=struct_pose_mad,
             struct_pose_e_tol=etol_, struct_pose_max_dt=mdt_)
 
-    return jax.vmap(one)(pools, dI_new_pyr, flat_new, offsets, widths,
-                         heights, Ks, T_tries, try_exclude, aff_last,
-                         ref_aff, exposures, min_res_for_abort, ref_T_wc,
-                         pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
-                         pt_quality, T_wc_stack, aff_stack, exposure_stack,
-                         dI0_stack, ref_idx_per_point, K0, cutoff_th,
-                         huber_th, struct_pose_e_tol, struct_pose_max_dt)
+    return jax.vmap(one)(jnp.asarray(etol_b), jnp.asarray(mdt_b), *args)

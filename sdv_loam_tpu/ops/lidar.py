@@ -313,3 +313,14 @@ def preprocess_scan(cloud, mask, R_cl, t_cl, fx, fy, cx, cy, w: int, h: int):
     # (main.cpp:850-853)
     out["add_feature_point"] = out["ground_ratio"] > 0.8
     return out
+
+
+@partial(jax.jit, static_argnames=("w", "h"))
+def preprocess_scan_batch(args_b, w: int, h: int):
+    """B-scan fleet LiDAR preprocess: vmap of preprocess_scan over a
+    leading batch axis. `args_b`: tuple over B of per-scan arg tuples
+    (already padded to one shared cloud bucket); stacking happens INSIDE
+    the jit so it fuses into the batched program instead of dispatching
+    eager stack ops (each its own ~5 ms device program over the tunnel)."""
+    args = jax.tree.map(lambda *xs: jnp.stack(xs), *args_b)
+    return jax.vmap(lambda *a: preprocess_scan(*a, w=w, h=h))(*args)

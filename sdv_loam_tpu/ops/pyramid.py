@@ -79,3 +79,11 @@ def make_images(color: jnp.ndarray, levels: int, gamma_grad: jnp.ndarray | None 
             g2 = g2 * gw * gw
         abs_grad.append(g2)
     return tuple(dI), tuple(abs_grad)
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def make_images_batch(colors, levels: int):
+    """B-frame fleet pyramid: vmap of make_images over a leading batch
+    axis. Takes one stacked (B, H, W) HOST array so the fleet driver pays
+    a single transfer + program instead of B uploads and B programs."""
+    return jax.vmap(lambda im: make_images(im, levels))(colors)

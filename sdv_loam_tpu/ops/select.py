@@ -317,11 +317,14 @@ select_compact = partial(jax.jit,
 
 
 @partial(jax.jit, static_argnames=_SELECT_STATICS)
-def select_compact_batch(*args, pot: int, cap: int,
+def select_compact_batch(args_b, *, pot: int, cap: int,
                          select_direction_distribution: bool = True):
     """B-sequence fleet selection: vmap of select_compact over a leading
     batch axis (the fleet driver folds aligned keyframe selection rounds
-    into one program; see kf_ops.kf_opt_step_batch for the rationale)."""
+    into one program; see kf_ops.kf_opt_step_batch for the rationale).
+    `args_b`: tuple over B of per-lane arg tuples, stacked inside the jit."""
+    args = jax.tree.map(lambda *xs: jnp.stack(xs), *args_b)
+
     def one(*a):
         return _select_compact_impl(
             *a, pot=pot, cap=cap,
@@ -350,10 +353,10 @@ def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
             "dispatch_select",
             (dI0, abs_grads[0], abs_grads[1], abs_grads[2], cand_mask,
              depth_map, px_u_map, px_v_map, key,
-             jnp.float32(th_factor),
-             jnp.float32(settings.min_grad_hist_cut),
-             jnp.float32(settings.min_grad_hist_add),
-             jnp.float32(settings.grad_downweight_per_level)),
+             np.float32(th_factor),
+             np.float32(settings.min_grad_hist_cut),
+             np.float32(settings.min_grad_hist_add),
+             np.float32(settings.grad_downweight_per_level)),
             dict(pot=pot, cap=cap, select_direction_distribution=
                  settings.select_direction_distribution))
         num_have = float(out["counts"].sum())

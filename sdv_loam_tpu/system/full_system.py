@@ -41,6 +41,12 @@ CORNER = 0
 EDGELET = 1
 
 
+@jax.jit
+def _set_slot_stacks(dI0_stack, flat_stack, slot, dI0, flat0):
+    """Per-KF window-stack slot updates fused into one device program."""
+    return dI0_stack.at[slot].set(dI0), flat_stack.at[slot].set(flat0)
+
+
 def _rotation_ladder(rot_delta=0.02):
     """The 26 unit-quaternion rotation perturbations of trackNewCoarse
     (FullSystem.cpp:341-398)."""
@@ -225,11 +231,13 @@ class FullSystem:
         return buf, mask, cap
 
     def _lidar_args(self, buf, mask):
-        return (jnp.asarray(buf), jnp.asarray(mask),
-                jnp.asarray(self.sensor.R_cl, jnp.float32),
-                jnp.asarray(self.sensor.t_cl, jnp.float32),
-                jnp.float32(self.K0[0]), jnp.float32(self.K0[1]),
-                jnp.float32(self.K0[2]), jnp.float32(self.K0[3]))
+        # numpy-typed on purpose: jit transfers them at dispatch; eager
+        # jnp wrapping here would cost one tiny device program per scalar
+        return (buf, mask,
+                np.asarray(self.sensor.R_cl, np.float32),
+                np.asarray(self.sensor.t_cl, np.float32),
+                np.float32(self.K0[0]), np.float32(self.K0[1]),
+                np.float32(self.K0[2]), np.float32(self.K0[3]))
 
     def _preprocess(self, cloud: np.ndarray):
         buf, mask, _ = self._bucket_cloud(cloud)
@@ -695,14 +703,17 @@ class FullSystem:
         # of once per frame (cache invalidated alongside _pt_dev)
         if getattr(self, "_track_const_dev", None) is None:
             T_wc_stack = np.linalg.inv(self.T_cw)
-            self._track_const_dev = dict(
-                ref_aff=jnp.asarray(self.track_ref_aff, jnp.float32),
-                exp2=jnp.asarray([1.0, 1.0], jnp.float32),
-                inf5=jnp.full((5,), jnp.inf, jnp.float32),
-                ref_T_wc=jnp.asarray(ref_shell["T_wc"], jnp.float32),
-                T_wc_stack=jnp.asarray(T_wc_stack, jnp.float32),
-                aff=jnp.asarray(self.aff), exposure=jnp.asarray(self.exposure),
-                K0=jnp.asarray(self.K0))
+            # ONE batched transfer (device_put of numpy) — eager jnp wraps
+            # would cost one tiny device program per leaf
+            self._track_const_dev = jax.device_put(dict(
+                ref_aff=np.asarray(self.track_ref_aff, np.float32),
+                exp2=np.asarray([1.0, 1.0], np.float32),
+                inf5=np.full((5,), np.inf, np.float32),
+                ref_T_wc=np.asarray(ref_shell["T_wc"], np.float32),
+                T_wc_stack=np.asarray(T_wc_stack, np.float32),
+                aff=np.asarray(self.aff, np.float32),
+                exposure=np.asarray(self.exposure, np.float32),
+                K0=np.asarray(self.K0, np.float32)))
         tc = self._track_const_dev
 
         # re-track ladder (trackNewCoarse:412-462). The reference tries
@@ -733,8 +744,8 @@ class FullSystem:
             out = yield (
                 "dispatch_track",
                 (self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
-                 jnp.asarray(T_batch), jnp.asarray(exclude),
-                 jnp.asarray(aff_last, jnp.float32),
+                 np.asarray(T_batch, np.float32), np.asarray(exclude),
+                 np.asarray(aff_last, np.float32),
                  tc["ref_aff"], tc["exp2"], tc["inf5"], tc["ref_T_wc"],
                  pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
                  tc["T_wc_stack"], tc["aff"],
@@ -971,7 +982,6 @@ class FullSystem:
         self.frame_shell_idx[slot] = frame["shell"]["id"]
         self.slot_flagged[slot] = False
         self.slot_stats_out[slot] = 0
-        self.dI0_stack = self.dI0_stack.at[slot].set(frame["dI"][0])
         self.pyr_slots[slot] = frame["dI"]
         self.flat_slots[slot] = flatten_pyramid(frame["dI"])
         # persistent (F, T, 3) device stack of flattened window pyramids:
@@ -981,8 +991,11 @@ class FullSystem:
             self._flat_stack = jnp.zeros(
                 (self.F,) + tuple(self.flat_slots[slot][0].shape),
                 jnp.float32)
-        self._flat_stack = self._flat_stack.at[slot].set(
-            self.flat_slots[slot][0])
+        # both slot updates in ONE jitted program (eager .at[].set would
+        # dispatch 3 device ops each)
+        self.dI0_stack, self._flat_stack = _set_slot_stacks(
+            self.dI0_stack, self._flat_stack, np.int32(slot),
+            frame["dI"][0], self.flat_slots[slot][0])
         self.fe_th[slot] = self.fe_th[self.order[-2]] if len(self.order) > 1 \
             else 12.0 * 12.0 * 8.0
         return slot
@@ -1071,9 +1084,7 @@ class FullSystem:
         vals["idepth"] = self.pt["idepth"][rows_p]
         act_res = self.res_active[rows_p]
         self._kf_dev = commit_pool_kf(
-            pool, jnp.int32(slot), jnp.asarray(rows_p), jnp.asarray(valid),
-            {k: jnp.asarray(v) for k, v in vals.items()},
-            jnp.asarray(act_res))
+            pool, np.int32(slot), rows_p, valid, vals, act_res)
 
     def _kf_opt_steps(self, frame, slot):
         """Matcher refresh + windowed BA + outlier removal + tracking-ref
@@ -1128,17 +1139,20 @@ class FullSystem:
             resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap)
 
         def kf_args(iters_):
+            # host-side args are numpy-typed on purpose: jit transfers at
+            # dispatch; eager jnp wraps cost one device program per arg
             return (
-                jnp.asarray(self.T_cw_fej, jnp.float32),
-                jnp.asarray(self.eps, jnp.float32),
-                jnp.asarray(self.K0), jnp.asarray(self.K0),
-                jnp.asarray(self.slot_used), jnp.asarray(self.frame_prior),
-                jnp.full(4, s.initial_calib_hessian / 2500.0, jnp.float32),
-                jnp.asarray(self.aff), jnp.asarray(self.exposure),
-                jnp.asarray(self.HM, jnp.float32),
-                jnp.asarray(self.bM, jnp.float32),
-                jnp.int32(slot), jnp.asarray(self.fe_th),
-                jnp.asarray(self.slot_flagged),
+                np.asarray(self.T_cw_fej, np.float32),
+                np.asarray(self.eps, np.float32),
+                np.asarray(self.K0), np.asarray(self.K0),
+                np.asarray(self.slot_used), np.asarray(self.frame_prior),
+                np.full(4, s.initial_calib_hessian / 2500.0, np.float32),
+                np.asarray(self.aff, np.float32),
+                np.asarray(self.exposure, np.float32),
+                np.asarray(self.HM, np.float32),
+                np.asarray(self.bM, np.float32),
+                np.int32(slot), np.asarray(self.fe_th, np.float32),
+                np.asarray(self.slot_flagged),
                 pool["u"], pool["v"],
                 pool["idepth"], pool["host"],
                 pool["color"], pool["weights"],
@@ -1152,16 +1166,17 @@ class FullSystem:
                 pool["matcher_px"], pool["matcher_valid"],
                 self.dI0_stack,
                 flat_newest, offs, ws, hs, flat_stack,
-                jnp.asarray(ref_idx_newest), jnp.asarray(ref_idx_multi),
-                jnp.asarray(multi_mask),
+                np.asarray(ref_idx_newest, np.int32),
+                np.asarray(ref_idx_multi, np.int32),
+                np.asarray(multi_mask),
                 frame["dI"],
-                jnp.int32(iters_), jnp.int32(s.min_opt_iterations),
-                jnp.float32(s.th_opt_iterations),
-                jnp.bool_(s.force_accept_step),
-                jnp.asarray(prior_marg), jnp.float32(s.marg_weight_fac),
-                jnp.int32(s.min_good_active_res_for_marg),
-                jnp.int32(s.min_good_res_for_marg),
-                jnp.float32(s.min_idepth_h_marg))
+                np.int32(iters_), np.int32(s.min_opt_iterations),
+                np.float32(s.th_opt_iterations),
+                np.bool_(s.force_accept_step),
+                np.asarray(prior_marg), np.float32(s.marg_weight_fac),
+                np.int32(s.min_good_active_res_for_marg),
+                np.int32(s.min_good_res_for_marg),
+                np.float32(s.min_idepth_h_marg))
 
         def dispatch(iters_):
             return self._block(kf_opt_step(*kf_args(iters_), **statics))
@@ -1505,14 +1520,15 @@ class FullSystem:
              pool_pt["u"], pool_pt["v"],
              pool_pt["idepth"], pool_pt["host"],
              pool_pt["pt_valid"],
-             jnp.int32(newest_slot), jnp.asarray(self.slot_used),
-             jnp.asarray(self.slot_flagged),
-             jnp.asarray(KRKi1), jnp.asarray(Kt1),
-             jnp.asarray(R_pair), jnp.asarray(t_pair), jnp.asarray(aff_pair),
-             self.dI0_stack, jnp.asarray(self.K0),
-             jnp.float32(self.current_min_act_dist),
-             jnp.float32(s.min_trace_quality),
-             jnp.float32(s.min_idepth_h_act)),
+             np.int32(newest_slot), np.asarray(self.slot_used),
+             np.asarray(self.slot_flagged),
+             np.asarray(KRKi1, np.float32), np.asarray(Kt1, np.float32),
+             np.asarray(R_pair, np.float32), np.asarray(t_pair, np.float32),
+             np.asarray(aff_pair, np.float32),
+             self.dI0_stack, np.asarray(self.K0),
+             np.float32(self.current_min_act_dist),
+             np.float32(s.min_trace_quality),
+             np.float32(s.min_idepth_h_act)),
             dict(w=self.w, h=self.h, w1=w1, h1=h1, n_frames=F,
                  # bucket the activation-lane cap to the live immature count
                  # (its strict upper bound): the activation GN's content is

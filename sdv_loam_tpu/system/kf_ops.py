@@ -352,10 +352,17 @@ activate_full = partial(jax.jit,
 
 
 @partial(jax.jit, static_argnames=_ACT_STATICS)
-def activate_full_batch(*args, w: int, h: int, w1: int, h1: int,
+def activate_full_batch(args_b, *, w: int, h: int, w1: int, h1: int,
                         n_frames: int, a_cap: int, gn_iters: int = 3):
     """B-sequence fleet activation: vmap of activate_full over a leading
-    batch axis (see kf_opt_step_batch for the amortization rationale)."""
+    batch axis (see kf_opt_step_batch for the amortization rationale).
+
+    `args_b`: tuple over B sequences of per-lane positional-arg tuples;
+    the stack happens INSIDE the jit so it fuses into the batched program
+    instead of dispatching ~20 eager stack ops per round (each eager op is
+    its own ~5 ms device program over the tunnel, CLAUDE.md)."""
+    args = jax.tree.map(lambda *xs: jnp.stack(xs), *args_b)
+
     def one(*a):
         return _activate_full_impl(*a, w=w, h=h, w1=w1, h1=h1,
                                    n_frames=n_frames, a_cap=a_cap,
@@ -371,7 +378,7 @@ kf_opt_step = partial(jax.jit, static_argnames=_KF_STATICS)(_kf_opt_step_impl)
 
 
 @partial(jax.jit, static_argnames=_KF_STATICS)
-def kf_opt_step_batch(*args,
+def kf_opt_step_batch(args_b, *,
                       n_frames: int, w: int, h: int, max_level: int,
                       levels: int, track_ref_cap=16384,
                       gate_refresh: bool = False, resf_at_fej: bool = True,
@@ -387,7 +394,13 @@ def kf_opt_step_batch(*args,
     the dominant cost — the lockstep fleet driver uses this instead of B
     separate programs. Under vmap the LM `lax.while_loop` runs fleet-max
     iterations with converged lanes' carries masked (bit-identical
-    results)."""
+    results).
+
+    `args_b`: tuple over B sequences of per-lane positional-arg tuples;
+    stacking happens INSIDE the jit (one fused program, not ~50 eager
+    stack dispatches per round)."""
+    args = jax.tree.map(lambda *xs: jnp.stack(xs), *args_b)
+
     def one(*a):
         return _kf_opt_step_impl(
             *a, n_frames=n_frames, w=w, h=h, max_level=max_level,

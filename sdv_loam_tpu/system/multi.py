@@ -116,7 +116,7 @@ class MultiSystem:
                 if len(ids) >= 2:
                     dev = fn([reqs[i] for i in ids], ids)
                     for j, i in enumerate(ids):
-                        out[i] = jax.tree.map(lambda x, j=j: x[j], dev)
+                        out[i] = _slice_lane(dev, np.int32(j))
                         reqs.pop(i)
             for kind in ("dispatch_kf_opt", "dispatch_activate"):
                 ids = [i for i, r in reqs.items() if _kind(r) == kind]
@@ -125,7 +125,7 @@ class MultiSystem:
                 dev = self._batch_fused(kind, [reqs[i] for i in ids])
                 if dev is not None:
                     for j, i in enumerate(ids):
-                        out[i] = _slice_lane(dev, jnp.int32(j))
+                        out[i] = _slice_lane(dev, np.int32(j))
                         reqs.pop(i)
         singles = {}
         for i, r in reqs.items():
@@ -155,14 +155,15 @@ class MultiSystem:
             return [], None
         from sdv_loam_tpu.ops.frame_step import track_frame_step_batch
         track_reqs = [reqs[i] for i in track_ids]
-        args = jax.tree.map(lambda *xs: jnp.stack(
-            [jnp.asarray(x) for x in xs]), *[r[1] for r in track_reqs])
-        etol = jnp.asarray([np.float32(r[2]["struct_pose_e_tol"])
-                            for r in track_reqs])
-        mdt = jnp.asarray([np.float32(r[2]["struct_pose_max_dt"])
+        etol = np.asarray([np.float32(r[2]["struct_pose_e_tol"])
                            for r in track_reqs])
+        mdt = np.asarray([np.float32(r[2]["struct_pose_max_dt"])
+                          for r in track_reqs])
         statics = {k: v for k, v in kw0.items() if k not in _BATCH_TOLS}
-        return track_ids, track_frame_step_batch(*args, etol, mdt, **statics)
+        # per-lane arg tuples go in unstacked: the stack happens inside the
+        # jitted batch wrapper (one fused program, not ~30 eager stacks)
+        return track_ids, track_frame_step_batch(
+            tuple(r[1] for r in track_reqs), etol, mdt, **statics)
 
     def _try_batch_select(self, sreqs):
         """One vmapped selection program over aligned keyframe selection
@@ -174,10 +175,8 @@ class MultiSystem:
                    for r in sreqs[1:]):
             return None
         from sdv_loam_tpu.ops.select import select_compact_batch
-        args = jax.tree.map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *[r[1] for r in sreqs])
-        return select_compact_batch(*args, **sreqs[0][2])
+        return select_compact_batch(tuple(r[1] for r in sreqs),
+                                    **sreqs[0][2])
 
     def _batch_fused(self, kind, kreqs):
         """Fold aligned keyframe-stage descriptors into ONE vmapped program
@@ -208,22 +207,20 @@ class MultiSystem:
             for c in caps:
                 a, b = statics.get(c, 0), st.get(c, 0)
                 statics[c] = 0 if (a == 0 or b == 0) else max(a, b)
-        args = jax.tree.map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-            *[r[1] for r in kreqs])
-        return batch_fn(*args, **statics)
+        return batch_fn(tuple(r[1] for r in kreqs), **statics)
 
     def _batch_pyramid(self, preqs, ids):
-        """One vmapped pyramid program over the aligned image descriptors."""
-        from sdv_loam_tpu.ops.pyramid import make_images
+        """One vmapped pyramid program over the aligned image descriptors
+        (one stacked HOST upload, one program)."""
+        from sdv_loam_tpu.ops.pyramid import make_images_batch
         levels = self.systems[ids[0]].levels
         assert all(self.systems[i].levels == levels for i in ids)
-        imgs = jnp.stack([jnp.asarray(r[1][0], jnp.float32) for r in preqs])
-        return jax.vmap(lambda im: make_images(im, levels))(imgs)
+        imgs = np.stack([np.asarray(r[1][0], np.float32) for r in preqs])
+        return make_images_batch(imgs, levels)
 
     def _batch_lidar(self, lreqs, ids):
         """One vmapped scan-preprocess program, fleet-shared cloud bucket."""
-        from sdv_loam_tpu.ops.lidar import preprocess_scan
+        from sdv_loam_tpu.ops.lidar import preprocess_scan_batch
         systems = [self.systems[i] for i in ids]
         w, h = systems[0].w, systems[0].h
         assert all(fs.w == w and fs.h == h for fs in systems)
@@ -233,9 +230,7 @@ class MultiSystem:
         for fs, r in zip(systems, lreqs):
             buf, mask, _ = fs._bucket_cloud(r[1][0], cap)
             args.append(fs._lidar_args(buf, mask))
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *args)
-        return jax.vmap(
-            lambda *a: preprocess_scan(*a, w=w, h=h))(*stacked)
+        return preprocess_scan_batch(tuple(args), w=w, h=h)
 
     @property
     def any_lost(self):
