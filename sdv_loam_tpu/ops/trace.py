@@ -71,13 +71,12 @@ def pattern_colors(dI0, u, v):
     return color, weights, gradH, finite, grad_center
 
 
-@partial(jax.jit, static_argnames=("w", "h"))
-def trace_points(u, v, idepth_min, idepth_max, status, quality,
+def _trace_points_impl(u, v, idepth_min, idepth_max, status, quality,
                  color, weights, gradH, energy_th, host_idx,
                  KRKi_stack, Kt_stack, aff_stack,
-                 dI_target0, w: int, h: int,
-                 max_pix_search_frac: float = 0.027,
-                 huber_th: float = 6.0):
+                 dI_target0,
+                 max_pix_search_frac=0.027,
+                 huber_th=6.0, *, w: int, h: int):
     """Batched traceOn of the immature pool against one target frame.
 
     Args:
@@ -288,6 +287,20 @@ def trace_points(u, v, idepth_min, idepth_max, status, quality,
 # ---------------------------------------------------------------------------
 # activation depth-GN
 # ---------------------------------------------------------------------------
+
+trace_points = partial(jax.jit,
+                       static_argnames=("w", "h"))(_trace_points_impl)
+
+
+@partial(jax.jit, static_argnames=("w", "h"))
+def trace_points_batch(args_b, *, w: int, h: int):
+    """B-sequence fleet trace: vmap of trace_points over a leading batch
+    axis. `args_b`: tuple over B of per-lane arg tuples (incl. the traced
+    max_pix_search_frac / huber_th scalars), stacked INSIDE the jit (one
+    fused program instead of per-sequence dispatches + eager stacks)."""
+    args = jax.tree.map(lambda *xs: jnp.stack(xs), *args_b)
+    return jax.vmap(lambda *a: _trace_points_impl(*a, w=w, h=h))(*args)
+
 
 def _point_residual_system(u, v, idepth, color, weights, host_idx,
                            R_stack, t_stack, aff_stack, target_idx,

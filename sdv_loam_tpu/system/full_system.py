@@ -410,6 +410,9 @@ class FullSystem:
             if req[0] == "dispatch_select":
                 from sdv_loam_tpu.ops.select import select_compact
                 return self._block(select_compact(*req[1], **req[2]))
+            if req[0] == "dispatch_trace":
+                return ("__device__", self._block(
+                    trace_ops.trace_points(*req[1], **req[2])))
         return req
 
     @staticmethod
@@ -528,7 +531,7 @@ class FullSystem:
                 yield from self._make_key_frame_steps(frame)
         else:
             with self.telemetry.stage("trace"):
-                self._make_non_key_frame(frame)
+                yield from self._make_non_key_frame(frame)
         self.telemetry.frame_done(is_kf)
 
     # ------------------------------------------------------------------
@@ -873,15 +876,18 @@ class FullSystem:
     # ------------------------------------------------------------------
 
     def _make_non_key_frame(self, frame):
-        self._trace_new_coarse(frame)
+        yield from self._trace_steps(frame)
 
-    def _trace_new_coarse(self, frame, sync: bool = False):
+    def _trace_steps(self, frame):
         """Trace all immature points into the new frame (traceNewCoarse).
 
         Async between keyframes: the mutable trace state (idepth interval,
         status, quality) stays DEVICE-resident and chains from trace to trace
         without host syncs; `_sync_immature()` pulls it back before any host
-        consumer (activation) needs it.
+        consumer (activation) needs it. Dispatches via a DESCRIPTOR so the
+        fleet driver folds aligned sequences' traces (keyframe and
+        non-keyframe alike — both run right after the track round) into one
+        vmapped program.
         """
         if not self.im_valid.any():
             return
@@ -902,21 +908,20 @@ class FullSystem:
             affp[slot] = [a, frame["shell"]["aff"][1] - a * self.aff[slot][1]]
 
         pool = self._im_pool_dev()
-        out = self._block(trace_ops.trace_points(
-            pool["u"], pool["v"], pool["idepth_min"], pool["idepth_max"],
-            pool["status"], pool["quality"], pool["color"], pool["weights"],
-            pool["gradH"], pool["energy_th"], pool["host"],
-            jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(affp),
-            frame["dI"][0], w=self.w, h=self.h,
-            max_pix_search_frac=self.s.max_pix_search,
-            huber_th=self.s.huber_th))
+        out = yield (
+            "dispatch_trace",
+            (pool["u"], pool["v"], pool["idepth_min"], pool["idepth_max"],
+             pool["status"], pool["quality"], pool["color"], pool["weights"],
+             pool["gradH"], pool["energy_th"], pool["host"],
+             KRKi, Kt, affp, frame["dI"][0],
+             np.float32(self.s.max_pix_search),
+             np.float32(self.s.huber_th)),
+            dict(w=self.w, h=self.h))
         self._im_pool = dict(pool, idepth_min=out["idepth_min"],
                              idepth_max=out["idepth_max"],
                              status=out["status"], quality=out["quality"],
                              pixel_interval=out["pixel_interval"])
         self._trace_fresh = True
-        if sync:
-            self._sync_immature()
 
     def _im_pool_dev(self):
         """Device-resident immature pool (kf_ops.IM_FIELDS + im_valid),
@@ -1003,7 +1008,7 @@ class FullSystem:
     def _make_key_frame_steps(self, frame):
         # dispatch the trace (device-chained), then pull the trace state and
         # the scan's selection scalars in ONE host round-trip
-        self._trace_new_coarse(frame, sync=False)
+        yield from self._trace_steps(frame)
         scal = yield dict(
             bbox=frame["scan"]["bbox_area"],
             add_feat=frame["scan"]["add_feature_point"],

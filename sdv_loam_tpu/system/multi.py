@@ -118,7 +118,8 @@ class MultiSystem:
                     for j, i in enumerate(ids):
                         out[i] = _slice_lane(dev, np.int32(j))
                         reqs.pop(i)
-            for kind in ("dispatch_kf_opt", "dispatch_activate"):
+            for kind in ("dispatch_kf_opt", "dispatch_activate",
+                         "dispatch_trace"):
                 ids = [i for i, r in reqs.items() if _kind(r) == kind]
                 if len(ids) < 2:
                     continue
@@ -187,6 +188,7 @@ class MultiSystem:
         per-lane results are unchanged. Returns None when the requests are
         not shape/static-compatible (caller falls back to per-sequence
         dispatch)."""
+        from sdv_loam_tpu.ops import trace as trace_ops
         from sdv_loam_tpu.system import kf_ops
         batch_fn, caps = {
             # cap statics widenable per kind; 0 = fraction-of-pool default,
@@ -194,6 +196,7 @@ class MultiSystem:
             "dispatch_kf_opt": (kf_ops.kf_opt_step_batch,
                                 ("p1_cap", "p2_cap")),
             "dispatch_activate": (kf_ops.activate_full_batch, ("a_cap",)),
+            "dispatch_trace": (trace_ops.trace_points_batch, ()),
         }[kind]
         sh0 = _leaf_shapes(kreqs[0][1])
         if not all(_leaf_shapes(r[1]) == sh0 for r in kreqs[1:]):
