@@ -121,6 +121,13 @@ class Settings:
     # 0 disables. Healthy BA corrections measure <=0.15 m / <0.02 rad.
     ba_step_veto_m: float = 0.5
     ba_step_veto_rad: float = 0.15
+    # absolute LM damping floor (robustness deviation; solve_system). The
+    # reference's multiplicative damping (1+lambda)*diag gives a thinned
+    # window direction (diag~0) no stiffness at all — the mechanism behind
+    # the vetoed multi-meter BA steps. Adds lambda*rel*mean|diag| to the
+    # damped diagonal; healthy directions see a ~rel relative change.
+    # 0 = reference-exact multiplicative damping.
+    ba_lm_diag_floor: float = 0.0
     # absolute bound (meters) on the translation the struct-pose stage may
     # move the photometric pose. The stage's photometric veto compares
     # cutoff-CLAMPED energies: once the photometric track itself diverges,

@@ -499,7 +499,7 @@ def orthogonalize(vec, Ns):
 def solve_system(sys_, HM, bM, delta_stitched, c_prior, c_delta,
                  frame_prior, frame_delta, frame_valid, nullspaces,
                  lam, pt_host, pt_is_sensor, pairs, n_frames: int,
-                 orthogonalize_x=True):
+                 orthogonalize_x=True, diag_floor_rel=0.0):
     """Assemble the final system and solve (solveSystemF:650-759) +
     resubstitute idepth steps (resubstituteF:221-282).
 
@@ -528,6 +528,19 @@ def solve_system(sys_, HM, bM, delta_stitched, c_prior, c_delta,
     b = jnp.where(slot_mask, b, 0.0)
 
     Hd = H.at[jnp.arange(D), jnp.arange(D)].multiply(1.0 + lam)
+    # absolute damping floor (robustness deviation, PARITY.md): a window
+    # direction whose residual support has thinned to diag~0 gets NO
+    # stiffness from multiplicative LM damping ((1+lam)*0 = 0) and can be
+    # flung meters by the marginalization pull in one accepted step (the
+    # measured kf116 collapse, ROADMAP round-3). Floor the added damping at
+    # lam * rel * mean|diag| over live entries: healthy directions
+    # (diag ~ mean) see a ~rel relative change, unconstrained ones become
+    # bounded. rel=0 restores the reference-exact multiplicative form
+    # (solveSystemF:650-759).
+    smf = slot_mask.astype(dtype)
+    dmean = jnp.sum(jnp.abs(jnp.diag(H)) * smf) / jnp.maximum(smf.sum(), 1.0)
+    Hd = Hd.at[jnp.arange(D), jnp.arange(D)].add(
+        lam * diag_floor_rel * dmean * smf)
     SVecI = 1.0 / jnp.sqrt(jnp.abs(jnp.diag(Hd)) + 10.0)
     Hs = Hd * SVecI[:, None] * SVecI[None, :]
     bs = b * SVecI
@@ -805,7 +818,9 @@ def ba_optimize(win, settings, max_iters: int):
                            win["frame_valid"], nullspaces,
                            jnp.float32(lam), win["pt_host"],
                            win["pt_is_sensor"], pairs, n_frames=F,
-                           orthogonalize_x=(it >= 2))
+                           orthogonalize_x=(it >= 2),
+                           diag_floor_rel=getattr(
+                               settings, "ba_lm_diag_floor", 0.0))
         eps_new = eps + sol["dframes"]
         calib_new = calib + sol["dc"]
         idepth_new = jnp.where(win["pt_is_sensor"], idepth,
@@ -874,7 +889,8 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
             dI0_stack, max_iters, min_opt_iterations,
             th_opt_iterations, force_accept,
             n_frames: int, w: int, h: int,
-            gate_refresh: bool = False, resf_at_fej: bool = True):
+            gate_refresh: bool = False, resf_at_fej: bool = True,
+            lm_diag_floor=0.0):
     """The whole windowed LM (FullSystem::optimize) as ONE device program.
 
     All data-dependent control flow (accept/reject, lambda schedule,
@@ -947,7 +963,8 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
                            c_prior, c_delta, frame_prior,
                            eps_ * fvalid_f[:, None], frame_valid, nullspaces,
                            lam, pt_host, pt_is_sensor, pairs_, n_frames=F,
-                           orthogonalize_x=(it >= 2))
+                           orthogonalize_x=(it >= 2),
+                           diag_floor_rel=lm_diag_floor)
         eps_n = eps_ + sol["dframes"]
         calib_n = calib_ + sol["dc"]
         idepth_n = jnp.where(pt_is_sensor, idepth_, idepth_ + sol["didepth"])

@@ -1178,6 +1178,7 @@ class FullSystem:
                 np.int32(iters_), np.int32(s.min_opt_iterations),
                 np.float32(s.th_opt_iterations),
                 np.bool_(s.force_accept_step),
+                np.float32(s.ba_lm_diag_floor),
                 np.asarray(prior_marg), np.float32(s.marg_weight_fac),
                 np.int32(s.min_good_active_res_for_marg),
                 np.int32(s.min_good_res_for_marg),

@@ -149,6 +149,7 @@ def _kf_opt_step_impl(
         dI_newest_pyr,
         # LM params
         max_iters, min_opt_iterations, th_opt_iterations, force_accept,
+        lm_diag_floor,
         # marg params
         prior_marg, marg_weight_fac, min_good_active_res_for_marg,
         min_good_res_for_marg, min_idepth_h_marg,
@@ -236,7 +237,7 @@ def _kf_opt_step_impl(
         pt_prior, res_active_v, res_state, matcher_px, matcher_valid,
         dI0_stack, max_iters, min_opt_iterations, th_opt_iterations,
         force_accept, n_frames=F, w=w, h=h, gate_refresh=gate_refresh,
-        resf_at_fej=resf_at_fej)
+        resf_at_fej=resf_at_fej, lm_diag_floor=lm_diag_floor)
     new_state = out["new_state"]
     idepth_f = out["idepth"]
     Hdd_f = out["Hdd"]

@@ -72,6 +72,10 @@ if "spmad" in ablate:
     _kw["struct_pose_mad"] = True
 if os.environ.get("SPTOL"):
     _kw["struct_pose_e_tol"] = float(os.environ["SPTOL"])
+if os.environ.get("DIAGFLOOR"):
+    _kw["ba_lm_diag_floor"] = float(os.environ["DIAGFLOOR"])
+if os.environ.get("VETO_M"):
+    _kw["ba_step_veto_m"] = float(os.environ["VETO_M"])
 s = Settings(**_kw)
 # checkpoint replay knobs for fast long-run iteration (the 500-frame
 # S-curve takes ~25 min on the tunneled TPU; a resume from frame ~390
