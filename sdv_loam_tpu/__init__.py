@@ -34,10 +34,17 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent XLA compilation cache: the large fused programs (notably the
 # single-program BA LM loop) take minutes to compile over the remote-TPU
-# tunnel; cache them across processes.
+# tunnel; cache them across processes. CPU runs (tests, verify gates) get a
+# SEPARATE cache directory: XLA:CPU caches AOT machine code keyed without
+# the exact microarch, and loading an entry compiled with mismatched CPU
+# features (the cpu_aot_loader warnings) can SIGILL/segfault — observed
+# 2026-08-18 as a hard segfault in compilation_cache.get_executable_and_time
+# when CPU and TPU runs shared one directory across hosts.
 try:
     _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
                              _os.path.expanduser("~/.cache/jax_comp_cache"))
+    if "cpu" in str(_jax.config.jax_platforms or ""):
+        _cache = _cache + "_cpu"
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

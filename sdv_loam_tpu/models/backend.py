@@ -1038,11 +1038,13 @@ def ba_core(T_cw_fej, eps, calib, calib_zero, frame_valid,
 @partial(jax.jit, static_argnames=("n_frames", "w", "h", "gate_refresh",
                                    "resf_at_fej"))
 def ba_optimize_jit(*args, n_frames: int, w: int, h: int,
-                    gate_refresh: bool = False, resf_at_fej: bool = True):
+                    gate_refresh: bool = False, resf_at_fej: bool = True,
+                    lm_diag_floor=0.0):
     """jit wrapper over ba_core (kept for direct callers/tests; kf_ops
     composes ba_core into the fused keyframe program)."""
     out, _, _ = ba_core(*args, n_frames=n_frames, w=w, h=h,
-                        gate_refresh=gate_refresh, resf_at_fej=resf_at_fej)
+                        gate_refresh=gate_refresh, resf_at_fej=resf_at_fej,
+                        lm_diag_floor=lm_diag_floor)
     return out
 
 

@@ -26,3 +26,19 @@ jax.config.update("jax_enable_x64", True)   # f64 oracles for golden tests
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu"
     assert len(jax.devices()) == 8, "virtual 8-device CPU mesh required"
+
+
+_last_module = [None]
+
+
+def pytest_runtest_setup(item):
+    # Drop compiled executables between test MODULES: XLA:CPU segfaults
+    # once a single process accumulates the full suite's program count
+    # (observed deterministically at tests/test_tracking.py after ~95
+    # compiles; fine in any half-suite run). The persistent compilation
+    # cache (per-platform dir, sdv_loam_tpu/__init__.py) makes cross-module
+    # recompiles cheap reloads.
+    mod = item.module.__name__
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod
