@@ -50,12 +50,42 @@ def _slice_lane(tree, j):
 class MultiSystem:
     """Drive B FullSystem instances in stage-lockstep."""
 
-    def __init__(self, systems, batch_track: bool = True):
+    def __init__(self, systems, batch_track: bool = True,
+                 host_workers: int | None = None):
         self.systems = list(systems)
         self.batch_track = batch_track
+        # per-sequence host staging (the numpy control code between yields)
+        # is independent across systems; advancing the B generators on a
+        # thread pool overlaps it (numpy releases the GIL, jax dispatch is
+        # thread-safe). host_workers=0 forces the serial loop.
+        n_workers = min(8, len(self.systems)) if host_workers is None \
+            else host_workers
+        self._pool = None
+        if n_workers > 1 and len(self.systems) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=n_workers)
 
     def __len__(self):
         return len(self.systems)
+
+    def _advance(self, pending, to_send):
+        """One lockstep step of every live generator -> {i: yielded req}."""
+        reqs = {}
+        if self._pool is None:
+            for i in list(pending):
+                try:
+                    reqs[i] = pending[i].send(to_send.get(i))
+                except StopIteration:
+                    pending.pop(i)
+            return reqs
+        futs = {i: self._pool.submit(pending[i].send, to_send.get(i))
+                for i in list(pending)}
+        for i, f in futs.items():
+            try:
+                reqs[i] = f.result()
+            except StopIteration:
+                pending.pop(i)
+        return reqs
 
     def add_frames(self, frames):
         """Process one frame per sequence.
@@ -74,12 +104,7 @@ class MultiSystem:
 
         to_send = {i: None for i in pending}
         while pending:
-            reqs = {}
-            for i in list(pending):
-                try:
-                    reqs[i] = pending[i].send(to_send.get(i))
-                except StopIteration:
-                    pending.pop(i)
+            reqs = self._advance(pending, to_send)
             if not reqs:
                 break
             to_send = self._resolve(reqs)

@@ -51,6 +51,28 @@ def test_lockstep_ragged_lengths():
     assert len(ms.systems[1].shells) == 4
 
 
+def test_threaded_host_staging_matches_serial():
+    """Advancing the B generators on a thread pool (host-staging overlap)
+    must be bit-identical to the serial loop: the systems are independent
+    and the driver still resolves every round in lockstep."""
+    n = 8
+    seqs = [make_sequence(n_frames=n, w=320, h=96, step=0.8,
+                          yaw_rate=yr, lidar_stride=2)
+            for yr in (0.004, 0.012)]
+
+    def run(workers):
+        ms = MultiSystem([FullSystem(seq.calib, seq.sensor, _settings())
+                          for seq in seqs], host_workers=workers)
+        for i in range(n):
+            ms.add_frames([seq.get(i) for seq in seqs])
+        return [fs.get_trajectory() for fs in ms.systems]
+
+    ref = run(0)
+    out = run(2)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(b, a)
+
+
 def test_batched_track_matches_unbatched():
     """The vmapped fleet track program (track_frame_step_batch) must give
     each sequence the same trajectory as per-sequence dispatch (same ops on
