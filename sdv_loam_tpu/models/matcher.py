@@ -214,7 +214,14 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         m_c, mode="drop")
     px_out = jnp.zeros((N, 2), px_c.dtype).at[
         jnp.where(m_c, cidx, N)].set(px_c, mode="drop")
-    return dict(matched=matched, px=px_out, overflow=overflow)
+    # failure-mode diagnostics: [projected in-bounds, ref-patch valid,
+    # align converged] — separates geometric attrition (projection / ref
+    # bounds) from photometric attrition (align failure), the signal that
+    # classified the long-horizon match collapse
+    diag = jnp.stack([inb.sum().astype(jnp.int32),
+                      cand.sum().astype(jnp.int32),
+                      m_c.sum().astype(jnp.int32)])
+    return dict(matched=matched, px=px_out, overflow=overflow, diag=diag)
 
 
 @partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell",

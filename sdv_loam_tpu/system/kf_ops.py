@@ -332,6 +332,8 @@ def _kf_opt_step_impl(
         # matcher lane-cap truncation counts: [pass1, worst pass-2 target]
         match_overflow=jnp.stack([fresh["overflow"],
                                   multi["overflow"].max()]),
+        # pass-1 failure-mode split: [in-bounds, ref-valid, aligned]
+        match_diag=fresh["diag"],
         # pool state
         idepth=idepth_f, new_state=new_state, pt_valid=pt_valid4,
         center=centers,

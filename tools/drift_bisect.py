@@ -154,6 +154,7 @@ for i in range(_start, n):
               f" ba_dxyz ({dxyz[0]:+7.4f},{dxyz[1]:+7.4f},{dxyz[2]:+7.4f})"
               f" step/gt {step_ratio:6.4f}"
               f" sp_dz {dps[2, 3]:+7.4f} nm {sh.get('n_matched', -1):4d}"
+              f" p1[{'/'.join(map(str, getattr(fs, 'last_match_diag', [])))}]"
               f" ref[n {nref:5d} zmed {zmed:5.1f}]"
               f" act {m.sum():4d} im {fs.im_valid.sum():4d}"
               f" sel {getattr(fs, 'last_new_traces', -1):4d}"
