@@ -126,12 +126,19 @@ class Settings:
     # window direction (diag~0) no stiffness at all — the mechanism behind
     # the vetoed multi-meter BA steps. Adds lambda*rel*mean|diag| to the
     # damped diagonal; healthy directions see a ~rel relative change.
-    # 0 = reference-exact multiplicative damping. Measured ladder
-    # (400-frame full-scale S-curve, CPU): 0 -> 2.82 m ATE with terminal
-    # point starvation; 1e-3 -> 1.58; 1e-2 -> 1.07 (veto count 103 -> 59,
-    # healthy end state); 3e-2 -> 2.21; 1e-1 -> 3.49 (over-damped).
-    # Straight 200-frame: 0.319 -> 0.370 m (both ~0.2% of path).
-    ba_lm_diag_floor: float = 1e-2
+    # 0 = reference-exact multiplicative damping (the default). The knob is
+    # REGIME-DEPENDENT near the turn-collapse stability boundary (ROADMAP
+    # round-3): on the compressed 400-frame S-curve it is monotonically
+    # protective (0 -> 2.82 m ATE with terminal point starvation; 1e-3 ->
+    # 1.58; 1e-2 -> 1.07 with veto 103 -> 59 and a healthy end state;
+    # over-damps past 3e-2), but on the 500-frame gate scene it is
+    # monotonically harmful (0 -> 2.04 m = 0.51%; 1e-3 -> 3.97;
+    # 1e-2 -> 9.03): reducing veto triggers lets a degraded-regime BA act,
+    # and its accepted steps drift more than the floor saves. The step
+    # veto stays the protective mechanism; keep 0 unless a deployment's
+    # veto rate is pathological. Straight 200-frame: 0 -> 0.319 m,
+    # 1e-2 -> 0.370 m (both ~0.2% of path).
+    ba_lm_diag_floor: float = 0.0
     # absolute bound (meters) on the translation the struct-pose stage may
     # move the photometric pose. The stage's photometric veto compares
     # cutoff-CLAMPED energies: once the photometric track itself diverges,
