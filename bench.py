@@ -13,12 +13,19 @@ Two phases:
      aggregate frames/s is the per-chip capacity figure (reference analog:
      one process per sequence on one CPU, SURVEY.md §2.6).
 
+Fleet capacity management (VERDICT r3 item 1): B is picked from measured
+per-system device bytes vs the chip's HBM budget (utils/hbm.py), and the
+fleet phase runs under a retry ladder that halves B on RESOURCE_EXHAUSTED.
+The final JSON line always reports the best COMPLETED phase — a fleet
+failure downgrades to the single-sequence number instead of 0.0.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the 100 fps/chip target (BASELINE.md); the
 single-sequence rate and accuracy live in "extra".
 
 Env knobs: SDV_BENCH_B (default 8), SDV_BENCH_FRAMES (default 40),
-SDV_BENCH_SINGLE=1 to skip the multi phase.
+SDV_BENCH_SINGLE=1 to skip the multi phase, SDV_HBM_BYTES to override the
+HBM budget.
 """
 
 import json
@@ -27,6 +34,16 @@ import sys
 import time
 
 import numpy as np
+
+# best completed result so far — the catch-all emits this on a crash
+RECORD = {
+    "metric": "synthetic_kitti_frames_per_sec_per_chip",
+    "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0, "extra": {},
+}
+
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _setup_cache():
@@ -40,18 +57,122 @@ def _setup_cache():
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception as e:  # cache is an optimization only
-        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+        _log(f"compilation cache unavailable: {e}")
+
+
+def _run_single(seq, frames, warmup_frames, n_frames):
+    """Phase 1: one sequence; returns (fps, extra-dict, per_system_bytes)."""
+    from sdv_loam_tpu.config import Settings
+    from sdv_loam_tpu.eval.ate import ate_rmse, drift_decomposition
+    from sdv_loam_tpu.io.telemetry import Telemetry
+    from sdv_loam_tpu.system.full_system import FullSystem
+    from sdv_loam_tpu.utils import hbm
+
+    # Pipelined frames (default ON; SDV_BENCH_PIPELINED=0 for sequential):
+    # overlap host staging with device tracking. Trajectory identical to
+    # sequential mode (tests/test_pipelined.py); this is the production
+    # mode — the reference likewise benchmarks with its tracking/mapping
+    # thread overlap, not linearizeOperation (FullSystem.cpp:902-1012).
+    s = Settings(pipelined_frames=os.environ.get(
+        "SDV_BENCH_PIPELINED", "1") != "0")
+    fs = FullSystem(seq.calib, seq.sensor, s)
+    for i in range(warmup_frames):
+        t1 = time.perf_counter()
+        img, cloud, ts = frames[i]
+        fs.add_active_frame(img, cloud, ts)
+        _log(f"warmup frame {i}: {time.perf_counter() - t1:.1f}s")
+    fs.telemetry = Telemetry()  # steady-state stage stats only (no compiles)
+    t0 = time.perf_counter()
+    for i in range(warmup_frames, n_frames):
+        img, cloud, ts = frames[i]
+        fs.add_active_frame(img, cloud, ts)
+    fs.flush()   # pipelined mode: count the last in-flight frame
+    dt_single = time.perf_counter() - t0
+    n_timed = n_frames - warmup_frames
+    fps_single = n_timed / dt_single
+    est = fs.get_trajectory()
+    ate = ate_rmse(est, seq.poses_wc[:len(est)])
+    drift = drift_decomposition(est, seq.poses_wc[:len(est)])
+    n_kf, lost = len(fs.kf_shells), bool(fs.is_lost)
+    sys_bytes = hbm.system_device_bytes(fs)
+    _log(f"single-seq: {fps_single:.2f} f/s, ATE {ate:.4f} m")
+    _log(f"drift: {drift}")
+    _log("stage table (single-seq):\n" + fs.telemetry.stage_table())
+    _log(f"per-system device bytes: {sys_bytes / 1e6:.0f} MB "
+         f"(live total {hbm.live_device_bytes() / 1e6:.0f} MB, "
+         f"budget {hbm.hbm_budget_bytes() / 1e9:.1f} GB)")
+    if fs.track_iters_hist:
+        hist = np.stack(fs.track_iters_hist[warmup_frames:])
+        _log(f"track LM iters/level mean={hist.mean(0).round(1)} "
+             f"max={hist.max(0)}")
+    ovf = dict(fs.telemetry.counters)
+    del fs  # free device buffers before the fleet run
+
+    kf_rate = n_kf / max(len(est), 1)
+    _log(f"kf_rate {kf_rate:.2f}, counters {ovf}")
+    if any(v for k, v in ovf.items() if k.startswith("match_overflow")):
+        _log("WARNING: matcher lane-cap overflow — residual graph "
+             "silently truncated (see models/matcher.py)")
+    extra = {"ate_m": round(float(ate), 4), "n_frames": n_timed,
+             "n_keyframes": n_kf, "lost": lost, "kf_rate": round(kf_rate, 3),
+             "match_overflow": sum(
+                 v for k, v in ovf.items() if k.startswith("match_overflow")),
+             "fps_single_seq": round(fps_single, 3),
+             "system_device_mb": round(sys_bytes / 1e6, 1)}
+    return fps_single, extra, sys_bytes
+
+
+def _run_fleet(B, seqs, frame_sets, warmup_frames, n_frames):
+    """Phase 2 at a fixed B. Returns (aggregate fps, extra-updates)."""
+    import jax
+    from sdv_loam_tpu.config import Settings
+    from sdv_loam_tpu.eval.ate import ate_rmse
+    from sdv_loam_tpu.system.full_system import FullSystem
+    from sdv_loam_tpu.system.multi import MultiSystem
+    from sdv_loam_tpu.utils import hbm
+
+    n_timed = n_frames - warmup_frames
+    ms = MultiSystem([FullSystem(seqs[b % len(seqs)].calib,
+                                 seqs[b % len(seqs)].sensor, Settings())
+                      for b in range(B)])
+    try:
+        for i in range(warmup_frames):  # fleet warmup (syncs, no compiles)
+            t1 = time.perf_counter()
+            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
+            if i in (0, 1, warmup_frames - 1):
+                _log(f"fleet warmup frame {i}: "
+                     f"{time.perf_counter() - t1:.2f}s")
+        _log(f"fleet live device bytes after warmup: "
+             f"{hbm.live_device_bytes() / 1e6:.0f} MB")
+        t0 = time.perf_counter()
+        for i in range(warmup_frames, n_frames):
+            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
+        for f in ms.systems:
+            f.flush()
+        dt_multi = time.perf_counter() - t0
+        fps = B * n_timed / dt_multi
+        ates = [float(ate_rmse(f.get_trajectory(),
+                               seqs[b % len(seqs)].poses_wc))
+                for b, f in enumerate(ms.systems)]
+        extra = {
+            "B": B, "ate_m_fleet_max": round(max(ates), 4),
+            "lost_fleet": sum(f.is_lost for f in ms.systems),
+            "fps_per_seq_in_fleet": round(fps / B, 3),
+        }
+        return fps, extra
+    finally:
+        # free the fleet's device buffers (retry ladder reconstructs)
+        del ms
+        import gc
+        gc.collect()
 
 
 def main():
     _setup_cache()
-    from sdv_loam_tpu.config import Settings
     from sdv_loam_tpu.data.synthetic import make_sequence
-    from sdv_loam_tpu.eval.ate import ate_rmse, drift_decomposition
-    from sdv_loam_tpu.system.full_system import FullSystem
-    from sdv_loam_tpu.system.multi import MultiSystem
+    from sdv_loam_tpu.utils import hbm
 
-    B = int(os.environ.get("SDV_BENCH_B", "8"))
+    B_req = int(os.environ.get("SDV_BENCH_B", "8"))
     n_frames = int(os.environ.get("SDV_BENCH_FRAMES", "40"))
     warmup_frames = 12
     t_gen = time.perf_counter()
@@ -64,99 +185,48 @@ def main():
                             step=1.0, lidar_stride=2, half_width=16.0, **spec)
         seqs.append(seq)
         frame_sets.append([seq.get(i) for i in range(n_frames)])
-    print(f"[bench] generated {len(seqs)}x{n_frames} frames in "
-          f"{time.perf_counter() - t_gen:.1f}s", file=sys.stderr)
+    _log(f"generated {len(seqs)}x{n_frames} frames in "
+         f"{time.perf_counter() - t_gen:.1f}s")
 
     # ---------------- phase 1: single sequence (and compile warmup) --------
-    # Pipelined frames (default ON; SDV_BENCH_PIPELINED=0 for sequential):
-    # overlap host staging with device tracking. Trajectory identical to
-    # sequential mode (tests/test_pipelined.py); this is the production
-    # mode — the reference likewise benchmarks with its tracking/mapping
-    # thread overlap, not linearizeOperation (FullSystem.cpp:902-1012).
-    s = Settings(pipelined_frames=os.environ.get(
-        "SDV_BENCH_PIPELINED", "1") != "0")
-    fs = FullSystem(seqs[0].calib, seqs[0].sensor, s)
-    for i in range(warmup_frames):
-        t1 = time.perf_counter()
-        img, cloud, ts = frame_sets[0][i]
-        fs.add_active_frame(img, cloud, ts)
-        print(f"[bench] warmup frame {i}: {time.perf_counter() - t1:.1f}s",
-              file=sys.stderr)
-    from sdv_loam_tpu.io.telemetry import Telemetry
-    fs.telemetry = Telemetry()  # steady-state stage stats only (no compiles)
-    t0 = time.perf_counter()
-    for i in range(warmup_frames, n_frames):
-        img, cloud, ts = frame_sets[0][i]
-        fs.add_active_frame(img, cloud, ts)
-    fs.flush()   # pipelined mode: count the last in-flight frame
-    dt_single = time.perf_counter() - t0
-    n_timed = n_frames - warmup_frames
-    fps_single = n_timed / dt_single
-    est = fs.get_trajectory()
-    ate = ate_rmse(est, seqs[0].poses_wc[:len(est)])
-    drift = drift_decomposition(est, seqs[0].poses_wc[:len(est)])
-    n_kf, lost = len(fs.kf_shells), bool(fs.is_lost)
-    print(f"[bench] single-seq: {fps_single:.2f} f/s, ATE {ate:.4f} m",
-          file=sys.stderr)
-    print(f"[bench] drift: {drift}", file=sys.stderr)
-    # per-stage host-vs-sync split: where the frame time goes (VERDICT item 7)
-    print("[bench] stage table (single-seq):\n" + fs.telemetry.stage_table(),
-          file=sys.stderr)
-    if fs.track_iters_hist:
-        hist = np.stack(fs.track_iters_hist[warmup_frames:])
-        print(f"[bench] track LM iters/level mean={hist.mean(0).round(1)} "
-              f"max={hist.max(0)}", file=sys.stderr)
-    ovf = dict(fs.telemetry.counters)
-    del fs  # free device buffers before the fleet run
-
-    kf_rate = n_kf / max(len(est), 1)
-    print(f"[bench] kf_rate {kf_rate:.2f}, matcher overflow {ovf}",
-          file=sys.stderr)
-    if any(v for k, v in ovf.items() if k.startswith("match_overflow")):
-        print("[bench] WARNING: matcher lane-cap overflow — residual graph "
-              "silently truncated (see models/matcher.py)", file=sys.stderr)
-    extra = {"ate_m": round(float(ate), 4), "n_frames": n_timed,
-             "n_keyframes": n_kf, "lost": lost, "kf_rate": round(kf_rate, 3),
-             "match_overflow": sum(
-                 v for k, v in ovf.items() if k.startswith("match_overflow")),
-             "fps_single_seq": round(fps_single, 3)}
+    fps_single, extra, sys_bytes = _run_single(
+        seqs[0], frame_sets[0], warmup_frames, n_frames)
+    RECORD.update(value=round(fps_single, 3),
+                  vs_baseline=round(fps_single / 100.0, 4), extra=extra)
 
     if os.environ.get("SDV_BENCH_SINGLE"):
-        fps = fps_single
-        metric = "synthetic_kitti_frames_per_sec_per_chip"
-    else:
-        # ------------- phase 2: B-sequence lockstep aggregate --------------
-        ms = MultiSystem([FullSystem(seqs[b % len(seqs)].calib,
-                                     seqs[b % len(seqs)].sensor, Settings())
-                          for b in range(B)])
-        for i in range(warmup_frames):  # fleet warmup (syncs, no compiles)
-            t1 = time.perf_counter()
-            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
-            print(f"[bench] fleet warmup frame {i}: "
-                  f"{time.perf_counter() - t1:.2f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        for i in range(warmup_frames, n_frames):
-            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
-        dt_multi = time.perf_counter() - t0
-        fps = B * n_timed / dt_multi
-        metric = "synthetic_kitti_aggregate_frames_per_sec_per_chip"
-        ates = [float(ate_rmse(f.get_trajectory(),
-                               seqs[b % len(seqs)].poses_wc))
-                for b, f in enumerate(ms.systems)]
-        extra.update({
-            "B": B, "ate_m_fleet_max": round(max(ates), 4),
-            "lost_fleet": sum(f.is_lost for f in ms.systems),
-            "fps_per_seq_in_fleet": round(fps / B, 3),
-            "scaling_efficiency": round(fps / (B * fps_single), 3),
-        })
+        print(json.dumps(RECORD))
+        return
 
-    print(json.dumps({
-        "metric": metric,
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 100.0, 4),
-        "extra": extra,
-    }))
+    # ------------- phase 2: B-sequence lockstep aggregate ------------------
+    # size the fleet from measured bytes, then retry-halve on OOM: program
+    # temporaries of the vmapped fleet programs are invisible to the client,
+    # so the static estimate is a cap, not a guarantee.
+    B = hbm.pick_fleet_size(sys_bytes, B_req)
+    if B < B_req:
+        _log(f"HBM budget caps fleet at B={B} (requested {B_req}, "
+             f"{sys_bytes / 1e6:.0f} MB/system)")
+    while B >= 2:
+        try:
+            fps, fextra = _run_fleet(B, seqs, frame_sets, warmup_frames,
+                                     n_frames)
+            fextra["scaling_efficiency"] = round(fps / (B * fps_single), 3)
+            extra.update(fextra)
+            RECORD.update(
+                metric="synthetic_kitti_aggregate_frames_per_sec_per_chip",
+                value=round(fps, 3), vs_baseline=round(fps / 100.0, 4),
+                extra=extra)
+            break
+        except Exception as e:
+            msg = str(e).splitlines()[0][:160]
+            _log(f"fleet phase failed at B={B}: {msg}")
+            extra.setdefault("fleet_errors", []).append(
+                {"B": B, "error": msg})
+            B //= 2
+    else:
+        _log("fleet phase unavailable — reporting single-sequence result")
+
+    print(json.dumps(RECORD))
 
 
 if __name__ == "__main__":
@@ -165,8 +235,5 @@ if __name__ == "__main__":
     except Exception as e:  # always emit the one JSON line the driver reads
         import traceback
         traceback.print_exc(file=sys.stderr)
-        print(json.dumps({
-            "metric": "synthetic_kitti_frames_per_sec_per_chip",
-            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
-            "extra": {"error": str(e)[:200]},
-        }))
+        RECORD["extra"]["error"] = str(e)[:200]
+        print(json.dumps(RECORD))
