@@ -208,14 +208,12 @@ class Settings:
     outlier_th_sum_component: float = 50.0 * 50.0
 
     marg_weight_fac: float = 0.5 * 0.5         # settings.cpp:72
-    # settings.cpp:77 — UNUSED here by DESIGN, twice over: the batched
-    # ladder evaluates every try at once and keeps the best. Re-instating
-    # the reference's accept-constant-motion-within-1.5x rule was tried in
-    # round 3 and measured CATASTROPHIC (33% ATE over 80 m vs 1-5%
-    # best-of-all): the accept ratchet lets a locked-in wrong velocity keep
-    # passing the threshold frame after frame — the photometric-aliasing
-    # lock-in mechanism. Kept for config-surface parity only.
-    re_track_threshold: float = 1.5
+    # settings.cpp:77 `re_track_threshold` is deliberately ABSENT: the
+    # batched ladder evaluates every hypothesis at once and keeps the best,
+    # and re-instating the reference's accept-constant-motion-within-1.5x
+    # rule was measured CATASTROPHIC in round 3 (33% ATE over 80 m vs 1-5%
+    # best-of-all — the accept ratchet lets a locked-in wrong velocity keep
+    # passing the threshold frame after frame). See PARITY.md §43.
 
     min_good_active_res_for_marg: int = 3      # settings.cpp:82
     min_good_res_for_marg: int = 4             # settings.cpp:83

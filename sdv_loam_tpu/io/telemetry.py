@@ -23,6 +23,7 @@ class Telemetry:
     def __init__(self, log_path: str | None = None, quiet: bool = True):
         self.stage_time = defaultdict(float)
         self.stage_count = defaultdict(int)
+        self.child_time = defaultdict(float)  # time spent in nested stages
         self.sync_time = defaultdict(float)   # device_get wait per stage
         self.sync_count = defaultdict(int)
         self._stack = []
@@ -44,6 +45,8 @@ class Telemetry:
             self.stage_time[name] += dt
             self.stage_count[name] += 1
             self._stack.pop()
+            if self._stack:   # parent's time that was really spent in us
+                self.child_time[self._stack[-1]] += dt
 
     @contextmanager
     def sync(self):
@@ -125,15 +128,18 @@ class Telemetry:
 
     def stage_table(self) -> str:
         """Human-readable per-stage table: total time, call count, and the
-        host-dispatch vs device/link-sync split."""
-        lines = [f"{'stage':<14}{'calls':>7}{'total_s':>10}"
+        host-dispatch vs device/link-sync split. `host_s` is EXCLUSIVE —
+        nested stages' time (child_s) is subtracted, so a parent stage like
+        `keyframe` shows only its own host Python, not its sub-stages'."""
+        lines = [f"{'stage':<14}{'calls':>7}{'total_s':>10}{'child_s':>10}"
                  f"{'sync_s':>10}{'host_s':>10}"]
         for k in sorted(self.stage_time, key=self.stage_time.get,
                         reverse=True):
             tot = self.stage_time[k]
+            chd = self.child_time.get(k, 0.0)
             syn = self.sync_time.get(k, 0.0)
             lines.append(f"{k:<14}{self.stage_count[k]:>7}{tot:>10.2f}"
-                         f"{syn:>10.2f}{tot - syn:>10.2f}")
+                         f"{chd:>10.2f}{syn:>10.2f}{tot - chd - syn:>10.2f}")
         return "\n".join(lines)
 
     def close(self):
