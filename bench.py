@@ -16,8 +16,12 @@ Two phases:
 Fleet capacity management (VERDICT r3 item 1): B is picked from measured
 per-system device bytes vs the chip's HBM budget (utils/hbm.py), and the
 fleet phase runs under a retry ladder that halves B on RESOURCE_EXHAUSTED.
-The final JSON line always reports the best COMPLETED phase — a fleet
-failure downgrades to the single-sequence number instead of 0.0.
+Each attempt runs in a SUBPROCESS: a TPU ResourceExhausted poisons the
+backend for the rest of the process (measured: after a failed B=8, even
+B=2 fails in-process but succeeds in a fresh process), so isolation is the
+only way the ladder can actually recover. The final JSON line always
+reports the best COMPLETED phase — a fleet failure downgrades to the
+single-sequence number instead of 0.0.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the 100 fps/chip target (BASELINE.md); the
@@ -123,8 +127,9 @@ def _run_single(seq, frames, warmup_frames, n_frames):
 
 
 def _run_fleet(B, seqs, frame_sets, warmup_frames, n_frames):
-    """Phase 2 at a fixed B. Returns (aggregate fps, extra-updates)."""
-    import jax
+    """Phase 2 at a fixed B. Returns (aggregate fps, extra-updates).
+
+    `seqs`: list of (calib, sensor, poses_wc) tuples."""
     from sdv_loam_tpu.config import Settings
     from sdv_loam_tpu.eval.ate import ate_rmse
     from sdv_loam_tpu.system.full_system import FullSystem
@@ -132,39 +137,80 @@ def _run_fleet(B, seqs, frame_sets, warmup_frames, n_frames):
     from sdv_loam_tpu.utils import hbm
 
     n_timed = n_frames - warmup_frames
-    ms = MultiSystem([FullSystem(seqs[b % len(seqs)].calib,
-                                 seqs[b % len(seqs)].sensor, Settings())
+    ms = MultiSystem([FullSystem(seqs[b % len(seqs)][0],
+                                 seqs[b % len(seqs)][1], Settings())
                       for b in range(B)])
-    try:
-        for i in range(warmup_frames):  # fleet warmup (syncs, no compiles)
-            t1 = time.perf_counter()
-            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
-            if i in (0, 1, warmup_frames - 1):
-                _log(f"fleet warmup frame {i}: "
-                     f"{time.perf_counter() - t1:.2f}s")
-        _log(f"fleet live device bytes after warmup: "
-             f"{hbm.live_device_bytes() / 1e6:.0f} MB")
+    for i in range(warmup_frames):  # fleet warmup (syncs, no compiles)
+        t1 = time.perf_counter()
+        ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
+        if i in (0, 1, warmup_frames - 1):
+            _log(f"fleet warmup frame {i}: {time.perf_counter() - t1:.2f}s")
+    _log(f"fleet live device bytes after warmup: "
+         f"{hbm.live_device_bytes() / 1e6:.0f} MB")
+    t0 = time.perf_counter()
+    for i in range(warmup_frames, n_frames):
+        ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
+    for f in ms.systems:
+        f.flush()
+    dt_multi = time.perf_counter() - t0
+    fps = B * n_timed / dt_multi
+    ates = [float(ate_rmse(f.get_trajectory(),
+                           seqs[b % len(seqs)][2][:len(f.get_trajectory())]))
+            for b, f in enumerate(ms.systems)]
+    return fps, {
+        "B": B, "ate_m_fleet_max": round(max(ates), 4),
+        "lost_fleet": sum(f.is_lost for f in ms.systems),
+        "fps_per_seq_in_fleet": round(fps / B, 3),
+    }
+
+
+def _fleet_child(argv):
+    """Subprocess entry: one fleet attempt, one JSON line on stdout.
+
+    Isolation is load-bearing: a TPU ResourceExhausted leaves the backend
+    unable to run ANY further program in the same process, so each ladder
+    attempt gets a fresh process (parent parses the last stdout line)."""
+    import pickle
+    _setup_cache()
+    B, path, warmup_frames, n_frames = (int(argv[0]), argv[1],
+                                        int(argv[2]), int(argv[3]))
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    fps, extra = _run_fleet(B, data["seqs"], data["frame_sets"],
+                            warmup_frames, n_frames)
+    print(json.dumps({"fps": fps, "extra": extra}))
+
+
+def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
+    """Try the fleet phase at B0, halving B in a fresh subprocess per
+    attempt. Returns aggregate fps or None."""
+    import pickle
+    import subprocess
+    path = "/tmp/sdv_bench_fleet_frames.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({"seqs": [(s.calib, s.sensor, s.poses_wc) for s in seqs],
+                     "frame_sets": frame_sets}, f)
+    B = B0
+    while B >= 2:
         t0 = time.perf_counter()
-        for i in range(warmup_frames, n_frames):
-            ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
-        for f in ms.systems:
-            f.flush()
-        dt_multi = time.perf_counter() - t0
-        fps = B * n_timed / dt_multi
-        ates = [float(ate_rmse(f.get_trajectory(),
-                               seqs[b % len(seqs)].poses_wc))
-                for b, f in enumerate(ms.systems)]
-        extra = {
-            "B": B, "ate_m_fleet_max": round(max(ates), 4),
-            "lost_fleet": sum(f.is_lost for f in ms.systems),
-            "fps_per_seq_in_fleet": round(fps / B, 3),
-        }
-        return fps, extra
-    finally:
-        # free the fleet's device buffers (retry ladder reconstructs)
-        del ms
-        import gc
-        gc.collect()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--fleet", str(B),
+             path, str(warmup_frames), str(n_frames)],
+            capture_output=True, text=True, timeout=7200)
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
+            else ""
+        try:
+            out = json.loads(line)
+            extra.update(out["extra"])
+            return out["fps"]
+        except (json.JSONDecodeError, KeyError):
+            msg = (proc.stderr.strip().splitlines() or ["no stderr"])[-1][:160]
+            _log(f"fleet attempt B={B} failed after "
+                 f"{time.perf_counter() - t0:.0f}s: {msg}")
+            extra.setdefault("fleet_errors", []).append({"B": B, "error": msg})
+            B //= 2
+    return None
 
 
 def main():
@@ -199,30 +245,22 @@ def main():
         return
 
     # ------------- phase 2: B-sequence lockstep aggregate ------------------
-    # size the fleet from measured bytes, then retry-halve on OOM: program
-    # temporaries of the vmapped fleet programs are invisible to the client,
-    # so the static estimate is a cap, not a guarantee.
+    # size the fleet from measured bytes, then retry-halve on OOM (each
+    # attempt in a fresh subprocess): program temporaries of the vmapped
+    # fleet programs are invisible to the client, so the static estimate is
+    # a cap, not a guarantee.
     B = hbm.pick_fleet_size(sys_bytes, B_req)
     if B < B_req:
         _log(f"HBM budget caps fleet at B={B} (requested {B_req}, "
              f"{sys_bytes / 1e6:.0f} MB/system)")
-    while B >= 2:
-        try:
-            fps, fextra = _run_fleet(B, seqs, frame_sets, warmup_frames,
-                                     n_frames)
-            fextra["scaling_efficiency"] = round(fps / (B * fps_single), 3)
-            extra.update(fextra)
-            RECORD.update(
-                metric="synthetic_kitti_aggregate_frames_per_sec_per_chip",
-                value=round(fps, 3), vs_baseline=round(fps / 100.0, 4),
-                extra=extra)
-            break
-        except Exception as e:
-            msg = str(e).splitlines()[0][:160]
-            _log(f"fleet phase failed at B={B}: {msg}")
-            extra.setdefault("fleet_errors", []).append(
-                {"B": B, "error": msg})
-            B //= 2
+    fps = _fleet_ladder(B, seqs, frame_sets, warmup_frames, n_frames, extra)
+    if fps is not None:
+        extra["scaling_efficiency"] = round(
+            fps / (extra["B"] * fps_single), 3)
+        RECORD.update(
+            metric="synthetic_kitti_aggregate_frames_per_sec_per_chip",
+            value=round(fps, 3), vs_baseline=round(fps / 100.0, 4),
+            extra=extra)
     else:
         _log("fleet phase unavailable — reporting single-sequence result")
 
@@ -231,6 +269,9 @@ def main():
 
 if __name__ == "__main__":
     try:
+        if len(sys.argv) > 1 and sys.argv[1] == "--fleet":
+            _fleet_child(sys.argv[2:])
+            sys.exit(0)
         main()
     except Exception as e:  # always emit the one JSON line the driver reads
         import traceback

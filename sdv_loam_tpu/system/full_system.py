@@ -1191,7 +1191,8 @@ class FullSystem:
                      "stats_out", "idepth", "new_state", "pt_valid",
                      "num_good_res", "idepth_hessian", "res_active",
                      "matcher_px", "matcher_valid", "center",
-                     "match_overflow", "match_diag"]
+                     "match_overflow", "match_diag", "match_diag_p2",
+                     "res_diag"]
         if s.log_stuff:
             pull_keys += ["H_final", "b_final", "nullspaces", "rmse"]
         # dispatch DESCRIPTOR: the fleet driver (MultiSystem) folds aligned
@@ -1250,8 +1251,10 @@ class FullSystem:
         ovf = np.asarray(small["match_overflow"])
         self.telemetry.counters["match_overflow_p1"] += int(ovf[0])
         self.telemetry.counters["match_overflow_p2"] += int(ovf[1])
-        # pass-1 failure-mode split for drift diagnostics
+        # matcher/residual failure-mode splits for drift diagnostics
         self.last_match_diag = np.asarray(small["match_diag"])
+        self.last_match_diag_p2 = np.asarray(small["match_diag_p2"])
+        self.last_res_diag = np.asarray(small["res_diag"])
 
         # chain the device-resident pool: kf_opt_step outputs become the
         # next keyframe's inputs without leaving the device

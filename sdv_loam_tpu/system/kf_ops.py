@@ -247,6 +247,24 @@ def _kf_opt_step_impl(
     good_new = (new_state == backend.RES_IN) & res_is_new
     num_good_res = num_good_res + good_new.sum(axis=1)
 
+    # residual-fate diagnostics (matcher-health forensics, VERDICT r4 #3):
+    # of the residuals active entering this KF's BA, how many survived vs
+    # died and WHY — geometric (projection OOB), unmatched (no aligner
+    # match), or photometric (outlier-gate kill) — split new (inserted
+    # this KF) vs old (carried from earlier KFs). Layout (2, 4):
+    #   rows: [new, old]; cols: [kept_IN, oob_proj, oob_unmatched, outlier]
+    _st_in = new_state == backend.RES_IN
+    _st_oob = new_state == backend.RES_OOB
+    _st_out = new_state == backend.RES_OUTLIER
+    _mv = matcher_valid
+
+    def _fates(sel):
+        a = res_active_v & sel
+        return jnp.stack([(a & _st_in).sum(), (a & _st_oob & _mv).sum(),
+                          (a & _st_oob & ~_mv).sum(), (a & _st_out).sum()])
+
+    res_diag = jnp.stack([_fates(res_is_new), _fates(~res_is_new)])
+
     # ---- removeOutliers: drop non-IN residuals, then point-less points ----
     keep_res = res_active_v & (new_state == backend.RES_IN)
     matcher_valid = matcher_valid & ~(res_active_v
@@ -334,6 +352,10 @@ def _kf_opt_step_impl(
                                   multi["overflow"].max()]),
         # pass-1 failure-mode split: [in-bounds, ref-valid, aligned]
         match_diag=fresh["diag"],
+        # pass-2 split summed over targets
+        match_diag_p2=multi["diag"].sum(axis=0),
+        # residual fates through this KF's BA (see _fates above)
+        res_diag=res_diag,
         # pool state
         idepth=idepth_f, new_state=new_state, pt_valid=pt_valid4,
         center=centers,

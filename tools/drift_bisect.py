@@ -155,6 +155,8 @@ for i in range(_start, n):
               f" step/gt {step_ratio:6.4f}"
               f" sp_dz {dps[2, 3]:+7.4f} nm {sh.get('n_matched', -1):4d}"
               f" p1[{'/'.join(map(str, getattr(fs, 'last_match_diag', [])))}]"
+              f" p2[{'/'.join(map(str, getattr(fs, 'last_match_diag_p2', [])))}]"
+              f" rf[{';'.join(','.join(map(str, r)) for r in getattr(fs, 'last_res_diag', []))}]"
               f" ref[n {nref:5d} zmed {zmed:5.1f}]"
               f" act {m.sum():4d} im {fs.im_valid.sum():4d}"
               f" sel {getattr(fs, 'last_new_traces', -1):4d}"
