@@ -71,7 +71,10 @@ def grad_hist_thresholds(abs_grad0: jnp.ndarray, min_grad_hist_cut: float = 0.5,
     total = hist.sum(axis=-1)
     # quantile: smallest bin b with cumsum > cut*total (computeHistQuantil)
     cum = jnp.cumsum(hist, axis=-1)
-    th = jnp.float32(min_grad_hist_cut) * total[..., None]
+    # +0.5 matches computeHistQuantil's `hist[0]*below+0.5f` rounding
+    # (PixelSelector2.cpp:39-45) — without it, exact-tie blocks resolve one
+    # bin early vs the reference
+    th = jnp.float32(min_grad_hist_cut) * total[..., None] + 0.5
     qbin = jnp.argmax(cum > th, axis=-1).astype(jnp.float32)
     qbin = jnp.where(cum[..., -1] > th[..., 0], qbin, 90.0)
     ths = qbin + min_grad_hist_add
