@@ -109,6 +109,12 @@ def _run_single(seq, frames, warmup_frames, n_frames):
         hist = np.stack(fs.track_iters_hist[warmup_frames:])
         _log(f"track LM iters/level mean={hist.mean(0).round(1)} "
              f"max={hist.max(0)}")
+    if fs.kf_decision_hist:
+        kd = np.array([r[:3] for r in fs.kf_decision_hist[warmup_frames:]])
+        _log(f"kf decision: wsum mean {kd[:, 0].mean():.2f} "
+             f"(threshold 1.0), RMS flow px t {kd[:, 1].mean():.1f} "
+             f"rt {kd[:, 2].mean():.1f} — the reference formula "
+             f"(FullSystem.cpp:869-891) at this scene's flow")
     ovf = dict(fs.telemetry.counters)
     del fs  # free device buffers before the fleet run
 
@@ -190,6 +196,7 @@ def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
     with open(path, "wb") as f:
         pickle.dump({"seqs": [(s.calib, s.sensor, s.poses_wc) for s in seqs],
                      "frame_sets": frame_sets}, f)
+    best = None
     B = B0
     while B >= 2:
         t0 = time.perf_counter()
@@ -202,15 +209,32 @@ def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
             else ""
         try:
             out = json.loads(line)
-            extra.update(out["extra"])
-            return out["fps"]
+            # strict order: a crashed child's catch-all also prints valid
+            # JSON (the RECORD template) — read "fps" BEFORE touching extra
+            # so that line is treated as a failure, not merged
+            fps = out["fps"]
+            fextra = out["extra"]
         except (json.JSONDecodeError, KeyError):
             msg = (proc.stderr.strip().splitlines() or ["no stderr"])[-1][:160]
             _log(f"fleet attempt B={B} failed after "
                  f"{time.perf_counter() - t0:.0f}s: {msg}")
             extra.setdefault("fleet_errors", []).append({"B": B, "error": msg})
             B //= 2
-    return None
+            continue
+        _log(f"fleet B={B}: {fps:.3f} f/s aggregate "
+             f"({fextra.get('fps_per_seq_in_fleet')}/seq)")
+        extra.setdefault("fleet_tried", []).append(
+            {"B": B, "fps": round(fps, 3)})
+        # the aggregate-vs-B curve is not monotone (in-program batching
+        # amortizes per-op floors but grows the working set), so keep
+        # halving and report the best completed B
+        if best is None or fps > best[0]:
+            best = (fps, fextra)
+        B //= 2
+    if best is None:
+        return None
+    extra.update(best[1])
+    return best[0]
 
 
 def main():

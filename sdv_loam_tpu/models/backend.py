@@ -133,15 +133,19 @@ def photometric_gate(pt_u, pt_v, pt_idepth, pt_host, pt_color, pt_weights,
     # with a cumulative-AND along the pattern axis
     pat_ok = jnp.cumprod(pat_ok.astype(jnp.int8), axis=-1).astype(bool)
 
-    from sdv_loam_tpu.ops.align import _flat_bilinear
+    from sdv_loam_tpu.ops.align import _quad_bilinear
+    from sdv_loam_tpu.ops.warp import pack_bilinear
     hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
-    flat = dI0_stack.reshape(-1, 3)
+    # quad-packed gather: one index per sampled pattern point instead of
+    # the fused 4-corner gather (1.7x at 3 channels, v5e measured). The
+    # pack is a cheap VPU pass over the window stack per call.
+    quad = jax.vmap(pack_bilinear)(dI0_stack).reshape(F * hw_img, 12)
     base = (jnp.arange(F) * hw_img)[None, :, None]
     base = jnp.broadcast_to(base, (N, F, 1)).reshape(N * F, 1)
     wv = jnp.full((N * F, 1), dI0_stack.shape[2], jnp.int32)
     Ku2c = jnp.clip(Ku2, 0.0, dI0_stack.shape[2] - 1.01).reshape(N * F, 8)
     Kv2c = jnp.clip(Kv2, 0.0, dI0_stack.shape[1] - 1.01).reshape(N * F, 8)
-    _, hit = _flat_bilinear(flat, base, wv, Ku2c, Kv2c)
+    hit = _quad_bilinear(quad, base, wv, Ku2c, Kv2c)
     hit = hit.reshape(N, F, 8, 3)
 
     resp = hit[..., 0] - (a_rel[..., None] * pt_color[:, None, :]

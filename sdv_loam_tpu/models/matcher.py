@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from sdv_loam_tpu.ops.align import (align_batch, best_search_level,
-                                    warp_affine_patches, warp_matrix_affine)
+                                    quad_from_flat, warp_affine_patches,
+                                    warp_matrix_affine)
 from sdv_loam_tpu.utils import se3
 
 CELL_SIZE = 25          # Reprojector::initializeGrid (:100)
@@ -202,7 +203,10 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                                                     keepdims=True), 1e-9)
 
     is_edge = type_c == 1
-    px_a, m_c = align_batch(flat_pyr, offsets, widths, heights, lvl,
+    # quad-pack the target pyramid once per call; every align GN iteration
+    # then costs one gather index per sampled pixel (4x, ops/align.py)
+    quad_pyr = quad_from_flat(flat_pyr, w, h, max_level + 1)
+    px_a, m_c = align_batch(quad_pyr, offsets, widths, heights, lvl,
                             patches, px_scaled, dir_cur, is_edge,
                             a_rel, b_rel, cand)
     px_c = px_a * scale[:, None] + center_off[:, None]

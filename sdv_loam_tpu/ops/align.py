@@ -87,6 +87,63 @@ def _flat_bilinear(flat, base, w, x, y):
     return out[..., 0], out
 
 
+def quad_from_flat(flat, w: int, h: int, levels: int):
+    """Pack each flat-pyramid pixel's 2x2 bilinear support into ONE row.
+
+    TPU gather cost is per-INDEX; row width is nearly free (CLAUDE.md
+    measured economics). Packing the 4 bilinear corners of channel-0 into
+    a (T, 4) row — [I(x,y), I(x+1,y), I(x,y+1), I(x+1,y+1)], edge rows
+    duplicated — lets `_quad_bilinear` sample with a single gather index
+    per pixel instead of the fused 4-index gather: measured 4.0x faster at
+    align shapes on the v5e (tools note in ROADMAP round-4). Built INSIDE
+    the fused programs from the flat input (a few cheap VPU passes), so no
+    persistent HBM or staging cost.
+
+    flat: (T, C) with T = sum_l (w>>l)*(h>>l) (the flatten_pyramid layout).
+    """
+    outs = []
+    off = 0
+    for lvl in range(levels):
+        wl, hl = w >> lvl, h >> lvl
+        img = flat[off:off + wl * hl, 0].reshape(hl, wl)
+        p = jnp.pad(img, ((0, 1), (0, 1)), mode="edge")
+        q = jnp.stack([p[:hl, :wl], p[:hl, 1:], p[1:, :wl], p[1:, 1:]],
+                      axis=-1)
+        outs.append(q.reshape(wl * hl, 4))
+        off += wl * hl
+    return jnp.concatenate(outs, axis=0)
+
+
+def quad_from_image(img):
+    """(H, W) image -> (H*W, 4) packed bilinear-support rows (see
+    quad_from_flat)."""
+    h, w = img.shape
+    p = jnp.pad(img, ((0, 1), (0, 1)), mode="edge")
+    q = jnp.stack([p[:h, :w], p[:h, 1:], p[1:, :w], p[1:, 1:]], axis=-1)
+    return q.reshape(h * w, 4)
+
+
+def _quad_bilinear(quad, base, w, x, y):
+    """Bilinear sample from a quad-packed buffer: ONE gather index per
+    pixel. Caller guarantees in-bounds (x in [0, w-1], y in [0, h-1]).
+
+    quad: (T, 4) or (T, 4*C); base, w: (M,) or (M,1); x, y: (M, P).
+    Returns (M, P) for the 4-wide intensity pack, (M, P, C) otherwise."""
+    c = quad.shape[-1] // 4
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    ax = (x - x0).astype(quad.dtype)
+    ay = (y - y0).astype(quad.dtype)
+    idx = base + y0.astype(jnp.int32) * w + x0.astype(jnp.int32)
+    g = jnp.take(quad, idx, axis=0)
+    w4 = jnp.stack([(1 - ax) * (1 - ay), ax * (1 - ay),
+                    (1 - ax) * ay, ax * ay], axis=-1)
+    if c == 1:
+        return (g * w4).sum(axis=-1)
+    g = g.reshape(x.shape + (4, c))
+    return (g * w4[..., None]).sum(axis=-2)
+
+
 def warp_affine_patches(dI_ref0_stack, host_idx, px_ref, A_cur_ref,
                         search_level):
     """Warp 10x10 border patches from each candidate's host level-0 image
@@ -116,10 +173,14 @@ def warp_affine_patches(dI_ref0_stack, host_idx, px_ref, A_cur_ref,
     ok = (x >= 0) & (y >= 0) & (x < w - 1) & (y < h - 1)
     xc = jnp.clip(x, 0.0, w - 1.001)
     yc = jnp.clip(y, 0.0, h - 1.001)
-    flat = dI_ref0_stack.reshape(-1, dI_ref0_stack.shape[-1])
+    # quad-packed intensity gather: one index per sampled pixel (the pack
+    # is lane-invariant VPU work XLA hoists out of any vmap; see
+    # quad_from_flat). 100 px/lane x lane count per matcher call.
+    quad = jax.vmap(lambda im: quad_from_image(im[..., 0]))(
+        dI_ref0_stack).reshape(-1, 4)
     base = (host_idx * (h * w))[:, None]
     wv = jnp.full((x.shape[0], 1), w, jnp.int32)
-    inten, _ = _flat_bilinear(flat, base, wv, xc, yc)
+    inten = _quad_bilinear(quad, base, wv, xc, yc)
     inten = jnp.where(ok, inten, 0.0)
     return inten.reshape(-1, BORDER_PATCH, BORDER_PATCH)
 
@@ -255,10 +316,14 @@ def align1d_batch(flat_pyr, offsets, widths, heights, search_level,
 
 
 @jax.jit
-def align_batch(flat_pyr, offsets, widths, heights, search_level,
+def align_batch(quad_pyr, offsets, widths, heights, search_level,
                 border_patch, px_init_scaled, direction, is_edge,
                 aff_a, aff_b, valid, n_iter: int = 10):
     """Unified corner (align2D) + edgelet (align1D) alignment in ONE loop.
+
+    `quad_pyr` is the QUAD-PACKED target pyramid (quad_from_flat): each GN
+    iteration samples 64 px/lane with one gather index per pixel — 4x
+    faster than the fused 4-corner gather at these shapes (v5e measured).
 
     Semantically identical to running align2d_batch on corner lanes and
     align1d_batch on edgelet lanes, but: (a) one gather per iteration for
@@ -309,7 +374,7 @@ def align_batch(flat_pyr, offsets, widths, heights, search_level,
         x = jnp.clip(u[:, None], HALF_PATCH, wv - HALF_PATCH) + po_x[None, :]
         y = jnp.clip(v[:, None], HALF_PATCH,
                      hv[:, None] - HALF_PATCH) + po_y[None, :]
-        cur, _ = _flat_bilinear(flat_pyr, base, wv, x, y)
+        cur = _quad_bilinear(quad_pyr, base, wv, x, y)
         res = cur - (aff_a[:, None] * ref + aff_b[:, None]) \
             + mean_diff[:, None]
         Jres = -jnp.einsum("mp,mpi->mi", res, J)

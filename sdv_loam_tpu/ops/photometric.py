@@ -199,8 +199,10 @@ def calc_res_gs(pool, dI_new, K, T_ref_to_new, aff_rel, ref_aff_b, cutoff,
     new_idepth = idp / pt[:, 2]
 
     inb = valid & (Ku > 2) & (Kv > 2) & (Ku < w - 3) & (Kv < h - 3) & (new_idepth > 0)
-    from sdv_loam_tpu.ops.warp import bilinear_sample
-    hit, hit_ok = bilinear_sample(dI_new, Ku, Kv)
+    # quad-packed gather: one index per sampled point (1.7x at 3 channels
+    # on the v5e); the pack is a cheap VPU pass per LM iteration
+    from sdv_loam_tpu.ops.warp import bilinear_sample_packed, pack_bilinear
+    hit, hit_ok = bilinear_sample_packed(pack_bilinear(dI_new), h, w, Ku, Kv)
     inb = inb & hit_ok & jnp.isfinite(hit[:, 0])
 
     r = hit[:, 0] - (aff_rel[0] * color + aff_rel[1])

@@ -169,8 +169,14 @@ def _trace_points_impl(u, v, idepth_min, idepth_max, status, quality,
     gx = sx[:, :, None] + rot_pat[:, None, :, 0]             # (N, S, 8)
     gy = sy[:, :, None] + rot_pat[:, None, :, 1]
 
-    from sdv_loam_tpu.ops.warp import bilinear_sample
-    hit, hok = bilinear_sample(dI_target0[..., 0], gx, gy)
+    # quad-packed gathers (one index per sampled pixel, ops/warp.py): the
+    # 64-step search is the pool's biggest gather (N x 64 x 8) — 4x on the
+    # intensity pack; the 3-iteration GN below uses the 3-channel pack
+    from sdv_loam_tpu.ops.warp import bilinear_sample_packed, pack_bilinear
+    ht, wt = dI_target0.shape[:2]
+    packed1 = pack_bilinear(dI_target0[..., 0])
+    packed3 = pack_bilinear(dI_target0)
+    hit, hok = bilinear_sample_packed(packed1, ht, wt, gx, gy)
     res = hit - (aff[:, None, None, 0] * color[:, None, :] + aff[:, None, None, 1])
     absr = jnp.abs(res)
     hw = jnp.where(absr < huber_th, 1.0, huber_th / jnp.maximum(absr, 1e-12))
@@ -196,7 +202,7 @@ def _trace_points_impl(u, v, idepth_min, idepth_max, status, quality,
         bU, bV, bE, uBak, vBak, stepBack, done = carry
         gxp = bU[:, None] + rot_pat[:, :, 0]
         gyp = bV[:, None] + rot_pat[:, :, 1]
-        hit3, ok3 = bilinear_sample(dI_target0, gxp, gyp)
+        hit3, ok3 = bilinear_sample_packed(packed3, ht, wt, gxp, gyp)
         r3 = hit3[..., 0] - (aff[:, None, 0] * color + aff[:, None, 1])
         dResdDist = dxn[:, None] * hit3[..., 1] + dyn[:, None] * hit3[..., 2]
         a3 = jnp.abs(r3)
@@ -304,14 +310,15 @@ def trace_points_batch(args_b, *, w: int, h: int):
 
 def _point_residual_system(u, v, idepth, color, weights, host_idx,
                            R_stack, t_stack, aff_stack, target_idx,
-                           dI0_stack, K, w, h, energy_th, outlier_slack):
+                           quad12, F, K, w, h, energy_th, outlier_slack):
     """One temporary residual (point x target): pattern energy + (Hdd, bd).
 
     Vectorized translation of ImmaturePoint::linearizeResidual.
     R_stack/t_stack/aff_stack indexed by (host, target) pair id =
-    host * F + target.
+    host * F + target. `quad12`: (F*h*w, 12) quad-packed window stack
+    (ops/warp.pack_bilinear) — packed ONCE by the caller so the repeated
+    per-target/per-iteration gathers cost one index per sample.
     """
-    F = dI0_stack.shape[0]
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
     pair = host_idx * F + target_idx
     R = R_stack[pair]
@@ -331,14 +338,12 @@ def _point_residual_system(u, v, idepth, color, weights, host_idx,
     Kv = vn * fy + cy
     ok = (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) & (Ku < w - 3) & (Kv < h - 3)
 
-    hw_img = dI0_stack.shape[1] * dI0_stack.shape[2]
-    flat = dI0_stack.reshape(-1, 3)
-    base = (target_idx * hw_img)[:, None]
-    from sdv_loam_tpu.ops.align import _flat_bilinear
-    wv = jnp.full((u.shape[0], 1), dI0_stack.shape[2], jnp.int32)
-    Kuc = jnp.clip(Ku, 0.0, dI0_stack.shape[2] - 1.01)
-    Kvc = jnp.clip(Kv, 0.0, dI0_stack.shape[1] - 1.01)
-    _, hit = _flat_bilinear(flat, base, wv, Kuc, Kvc)
+    from sdv_loam_tpu.ops.align import _quad_bilinear
+    base = (target_idx * (w * h))[:, None]
+    wv = jnp.full((u.shape[0], 1), w, jnp.int32)
+    Kuc = jnp.clip(Ku, 0.0, w - 1.01)
+    Kvc = jnp.clip(Kv, 0.0, h - 1.01)
+    hit = _quad_bilinear(quad12, base, wv, Kuc, Kvc)
 
     res = hit[..., 0] - (aff[:, 0:1] * color + aff[:, 1:2])
     absr = jnp.abs(res)
@@ -381,6 +386,9 @@ def activate_points(u, v, idepth_init, color, weights, host_idx, is_sensor,
     """
     N = u.shape[0]
     F = n_frames
+    # pack the window stack ONCE; the GN loop re-gathers F x iters times
+    from sdv_loam_tpu.ops.warp import pack_bilinear
+    quad12 = jax.vmap(pack_bilinear)(dI0_stack).reshape(F * h * w, 12)
 
     def all_targets_system(idepth):
         es, Hs, bs, states = [], [], [], []
@@ -388,7 +396,7 @@ def activate_points(u, v, idepth_init, color, weights, host_idx, is_sensor,
             ti = jnp.full((N,), tgt, jnp.int32)
             e, Hdd, bd, st = _point_residual_system(
                 u, v, idepth, color, weights, host_idx, R_pair, t_pair,
-                aff_pair, ti, dI0_stack, K, w, h, energy_th, 1.0)
+                aff_pair, ti, quad12, F, K, w, h, energy_th, 1.0)
             use = frame_valid[tgt] & (host_idx != tgt)
             es.append(jnp.where(use, e, 0.0))
             Hs.append(jnp.where(use, Hdd, 0.0))

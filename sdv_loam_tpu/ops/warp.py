@@ -59,6 +59,51 @@ def bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return out, valid
 
 
+def pack_bilinear(img: jnp.ndarray) -> jnp.ndarray:
+    """Pack each pixel's 2x2 bilinear support into one row.
+
+    (H, W) -> (H*W, 4); (H, W, C) -> (H*W, 4*C) with corner-major layout
+    [c00, c10, c01, c11] x C. TPU gathers cost per-INDEX with row width
+    nearly free (CLAUDE.md economics), so `bilinear_sample_packed` needs
+    ONE gather index per sample instead of the fused 4-index gather:
+    measured 4.0x (1 channel) / 1.7x (3 channels) faster at tracking and
+    align shapes on the v5e. The pack itself is a few cheap VPU passes —
+    build it inside the fused program, right outside the hot loop.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, c = img.shape
+    p = jnp.pad(img, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    q = jnp.stack([p[:h, :w], p[:h, 1:], p[1:, :w], p[1:, 1:]], axis=2)
+    return q.reshape(h * w, 4 * c)
+
+
+def bilinear_sample_packed(packed: jnp.ndarray, h: int, w: int,
+                           x: jnp.ndarray, y: jnp.ndarray):
+    """`bilinear_sample` semantics from a pack_bilinear buffer.
+
+    packed: (H*W, 4*C). Returns (values (..., C) — squeezed to (...,) for
+    C == 1 — and valid (...,) with 0 outside, like bilinear_sample)."""
+    c = packed.shape[-1] // 4
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    ax = (x - x0f).astype(packed.dtype)
+    ay = (y - y0f).astype(packed.dtype)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    valid = (x0 >= 0) & (x0 <= w - 2) & (y0 >= 0) & (y0 <= h - 2)
+    idx = jnp.clip(y0, 0, h - 2) * w + jnp.clip(x0, 0, w - 2)
+    g = jnp.take(packed, idx, axis=0).reshape(x.shape + (4, c))
+    w4 = jnp.stack([(1.0 - ax) * (1.0 - ay), ax * (1.0 - ay),
+                    (1.0 - ax) * ay, ax * ay], axis=-1)    # (..., 4)
+    out = (g * w4[..., None]).sum(axis=-2)                 # (..., C)
+    out = jnp.where(valid[..., None], out, 0.0)
+    if c == 1:
+        out = out[..., 0]
+    return out, valid
+
+
 def nearest_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     """Nearest-neighbor sample with validity mask."""
     squeeze = img.ndim == 2

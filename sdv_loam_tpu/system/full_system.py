@@ -181,6 +181,8 @@ class FullSystem:
         self._flat_stack = None        # (F, T, 3) flattened window pyramids
         self.track_iters_hist: list = []   # per-frame LM-iteration counts
         self._track_step_hist: list = []   # accepted per-frame step lengths
+        self.kf_decision_hist: list = []   # (wsum, rms_flow_t, rms_flow_rt,
+        #                                     need) per tracked frame
         self._pending = None               # pipelined-mode in-flight frame
         # SDV_SYNC_STAGES=1: block after each device dispatch so the
         # telemetry stage table separates device+dispatch time (stage host_s)
@@ -869,6 +871,12 @@ class FullSystem:
             last_kf_t = self.shells[self.kf_shells[-1]]["timestamp"]
             if frame["shell"]["timestamp"] - last_kf_t <= 0.15:
                 need = False
+        # KF-rate forensics (VERDICT r4 #2): per-frame decision inputs —
+        # RMS flow (px) per term and the combined threshold value
+        self.kf_decision_hist.append(
+            (float(wsum), float(np.sqrt(max(flow[0], 0))),
+             float(np.sqrt(max(flow[2], 0))), bool(need)))
+        del self.kf_decision_hist[:-512]
         return bool(need)
 
     # ------------------------------------------------------------------

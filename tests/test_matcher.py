@@ -114,7 +114,8 @@ def test_align_batch_matches_split_aligners():
     align2d_batch / align1d_batch oracles (same math, fused loop)."""
     import jax.numpy as jnp
     from sdv_loam_tpu.ops.align import (align1d_batch, align2d_batch,
-                                        align_batch, flatten_pyramid)
+                                        align_batch, flatten_pyramid,
+                                        quad_from_flat)
     rng = np.random.default_rng(3)
     h, w = 64, 96
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -157,8 +158,9 @@ def test_align_batch_matches_split_aligners():
     px1, c1 = align1d_batch(flat, offs, ws, hs, lvl, jnp.asarray(patches),
                             jnp.asarray(init), jnp.asarray(d), ones, zeros,
                             valid)
+    quad = quad_from_flat(flat, w, h, 1)
     for is_edge in (np.zeros(M, bool), np.ones(M, bool)):
-        pxu, cu = align_batch(flat, offs, ws, hs, lvl, jnp.asarray(patches),
+        pxu, cu = align_batch(quad, offs, ws, hs, lvl, jnp.asarray(patches),
                               jnp.asarray(init), jnp.asarray(d),
                               jnp.asarray(is_edge), ones, zeros, valid)
         exp_px, exp_c = (px1, c1) if is_edge[0] else (px2, c2)
