@@ -206,9 +206,9 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     # quad-pack the target pyramid once per call; every align GN iteration
     # then costs one gather index per sampled pixel (4x, ops/align.py)
     quad_pyr = quad_from_flat(flat_pyr, w, h, max_level + 1)
-    px_a, m_c = align_batch(quad_pyr, offsets, widths, heights, lvl,
-                            patches, px_scaled, dir_cur, is_edge,
-                            a_rel, b_rel, cand)
+    px_a, m_c, afail = align_batch(quad_pyr, offsets, widths, heights, lvl,
+                                   patches, px_scaled, dir_cur, is_edge,
+                                   a_rel, b_rel, cand)
     px_c = px_a * scale[:, None] + center_off[:, None]
     m_c = m_c & cand
     m_c = m_c & jnp.isfinite(px_c).all(axis=-1)
@@ -219,12 +219,14 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     px_out = jnp.zeros((N, 2), px_c.dtype).at[
         jnp.where(m_c, cidx, N)].set(px_c, mode="drop")
     # failure-mode diagnostics: [projected in-bounds, ref-patch valid,
-    # align converged] — separates geometric attrition (projection / ref
-    # bounds) from photometric attrition (align failure), the signal that
-    # classified the long-horizon match collapse
-    diag = jnp.stack([inb.sum().astype(jnp.int32),
-                      cand.sum().astype(jnp.int32),
-                      m_c.sum().astype(jnp.int32)])
+    # align converged, align walked-OOB, align out-of-iterations] —
+    # separates geometric attrition (projection / ref bounds) from the two
+    # photometric attrition modes (align divergence vs slow convergence),
+    # the signals that classified the long-horizon match collapse
+    diag = jnp.concatenate([jnp.stack([inb.sum().astype(jnp.int32),
+                                       cand.sum().astype(jnp.int32),
+                                       m_c.sum().astype(jnp.int32)]),
+                            afail])
     return dict(matched=matched, px=px_out, overflow=overflow, diag=diag)
 
 

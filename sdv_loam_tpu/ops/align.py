@@ -397,8 +397,15 @@ def align_batch(quad_pyr, offsets, widths, heights, search_level,
     v0 = px_init_scaled[:, 1]
     carry = (jnp.int32(0), u0, v0, jnp.zeros_like(u0),
              jnp.zeros_like(valid), valid)
-    _, u, v, _, conv, _ = jax.lax.while_loop(cond, body, carry)
-    return jnp.stack([u, v], axis=-1), conv & valid
+    _, u, v, _, conv, alive = jax.lax.while_loop(cond, body, carry)
+    # failure-mode split for matcher forensics: a candidate that is not
+    # converged either WALKED OUT of the level bounds (alive False) or ran
+    # out of iterations (alive True) — very different diseases upstream
+    fail_oob = valid & ~conv & ~alive
+    fail_iters = valid & ~conv & alive
+    return jnp.stack([u, v], axis=-1), conv & valid, \
+        jnp.stack([fail_oob.sum().astype(jnp.int32),
+                   fail_iters.sum().astype(jnp.int32)])
 
 
 def warp_matrix_affine(px_ref, z_ref, K, Ki, T_cur_ref):

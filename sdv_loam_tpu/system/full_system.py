@@ -193,6 +193,7 @@ class FullSystem:
         self.initialized = False
         self.is_lost = False
         self.init_failed = False
+        self._mono = None          # camera-only bootstrap (ops/mono_init)
         self._first_frame = None
         self._rng_key = jax.random.PRNGKey(s.seed)
 
@@ -490,6 +491,35 @@ class FullSystem:
                      exposure=1.0, flat=flatten_pyramid(dI))
 
         if not self.initialized:
+            if self._mono is not None:
+                # camera-only bootstrap in progress: feed the mono
+                # initializer until it snaps + settles (trackFrame
+                # protocol, CoarseInitializer.cpp:50-230)
+                ready = self._mono.track_frame(frame["dI"])
+                if not ready:
+                    self.telemetry.frame_done(False)
+                    return
+                yield from self._initialize_mono_steps(frame)
+                # the ready frame becomes KF1 directly with the
+                # initializer pose (initializeFromInitializer semantics) —
+                # no photometric tracking for it
+                frame["scan"] = self._null_scan()
+                frame["flow"] = np.zeros(3)
+                frame["track_rmse"] = 0.0
+                with self.telemetry.stage("keyframe"):
+                    yield from self._make_key_frame_steps(frame)
+                self.telemetry.frame_done(True)
+                return
+            if cloud is None:
+                # no LiDAR on the first frame: start the camera-only
+                # bootstrap (ops/mono_init; the reference's setFirst path)
+                from sdv_loam_tpu.ops.mono_init import MonoInitializer
+                self._mono = MonoInitializer(self.calib, self.s)
+                self._mono.set_first(frame["dI"], frame["abs_grad"])
+                del frame["_cloud"]
+                self._first_frame = frame
+                self.telemetry.frame_done(False)
+                return
             # first frame: stash as the initializer frame (setFirstFromLidar)
             with self.telemetry.stage("lidar"):
                 frame["scan"] = self._preprocess(cloud)
@@ -499,7 +529,7 @@ class FullSystem:
             self.telemetry.frame_done(False)
             return
 
-        if len(self.shells) == 2:
+        if len(self.shells) == 2 and self._mono is None:
             yield from self._initialize_steps()
 
         # pipelined-mode stage barrier: everything above is staging (no
@@ -512,9 +542,15 @@ class FullSystem:
         # BA-optimized calib (self.K0), which the previous frame's keyframe
         # pipeline may update — running it before the barrier made the
         # pipelined trajectory diverge from sequential mode.
-        with self.telemetry.stage("lidar"):
-            frame["scan"] = yield ("dispatch_lidar",
-                                   (frame.pop("_cloud"),), {})
+        if frame["_cloud"] is None:
+            # camera-only frame (mono mode / LiDAR dropout): empty depth
+            # map; selection falls back to the monocular add_feat branch
+            frame.pop("_cloud")
+            frame["scan"] = self._null_scan()
+        else:
+            with self.telemetry.stage("lidar"):
+                frame["scan"] = yield ("dispatch_lidar",
+                                       (frame.pop("_cloud"),), {})
 
         with self.telemetry.stage("track"):
             ok = yield from self._track_steps(frame)
@@ -591,6 +627,66 @@ class FullSystem:
 
         # first-frame coarse tracking reference (setCTRefForFirstFrame)
         self._build_track_ref_first_frame(slot)
+
+    def _null_scan(self):
+        """Scan-shaped placeholder for camera-only frames: empty depth map
+        (no LiDAR candidates), full-image bbox, and add_feature_point
+        forced on so selection runs the monocular branch
+        (_make_new_traces_steps)."""
+        z = np.zeros((self.h, self.w), np.float32)
+        return dict(depth_map=z, px_u_map=z, px_v_map=z,
+                    bbox_area=np.float32(self.w * self.h),
+                    add_feature_point=np.bool_(True))
+
+    def _initialize_mono_steps(self, frame):
+        """initializeFromInitializer for the camera-only bootstrap: KF0 =
+        the stashed first frame with the mono initializer's gauge-fixed
+        points (is_sensor False — BA owns their depths); the current
+        frame's pose comes from the initializer, consistently rescaled
+        (ops/mono_init.level0_points)."""
+        from sdv_loam_tpu.ops.trace import pattern_colors
+
+        fr = self._first_frame
+        slot = self._insert_frame_slot(fr, kf_id=0)
+        self.frame_prior[slot] = np.array([1e10] * 3 + [1e11] * 3)
+
+        u, v, idep, fac = self._mono.level0_points()
+        color, weights, _, finite, gcen = jax.device_get(pattern_colors(
+            fr["dI"][0], jnp.asarray(u, jnp.float32),
+            jnp.asarray(v, jnp.float32)))
+        good = np.asarray(finite) & np.isfinite(idep) & (idep > 0)
+        if good.sum() < 50:
+            self.init_failed = True
+        rows = self._free_pt_rows(int(good.sum()))
+        sel = np.nonzero(good)[0][:len(rows)]
+
+        self.pt_valid[rows] = True
+        self.pt["u"][rows] = u[sel]
+        self.pt["v"][rows] = v[sel]
+        self.pt["idepth"][rows] = idep[sel]
+        self.pt["host"][rows] = slot
+        self.pt["color"][rows] = color[sel]
+        self.pt["weights"][rows] = weights[sel]
+        self.pt["is_sensor"][rows] = False      # monocular: BA owns depth
+        self.pt["type"][rows] = CORNER
+        self.pt["prior"][rows] = 0.0            # no depth prior
+        self.pt["quality"][rows] = gcen[sel]
+        self.res_active[rows, :] = False
+        self.matcher_valid[rows, :] = False
+
+        fr["shell"]["is_kf"] = True
+        self.kf_shells.append(fr["shell"]["id"])
+        self._build_track_ref_first_frame(slot)
+
+        # current frame's pose: first->new from the initializer, translation
+        # scaled into the point gauge; world == first frame
+        T_fn = np.asarray(self._mono.T, np.float64).copy()
+        T_fn[:3, 3] *= fac
+        frame["shell"]["T_wc"] = np.linalg.inv(T_fn)
+        frame["shell"]["aff"] = np.asarray(self._mono.aff, np.float64)
+        self.initialized = True
+        self._mono = None
+        yield from ()
 
     def _build_track_ref_first_frame(self, slot):
         m = self.pt_valid & (self.pt["host"] == slot)

@@ -160,7 +160,7 @@ def test_align_batch_matches_split_aligners():
                             valid)
     quad = quad_from_flat(flat, w, h, 1)
     for is_edge in (np.zeros(M, bool), np.ones(M, bool)):
-        pxu, cu = align_batch(quad, offs, ws, hs, lvl, jnp.asarray(patches),
+        pxu, cu, _ = align_batch(quad, offs, ws, hs, lvl, jnp.asarray(patches),
                               jnp.asarray(init), jnp.asarray(d),
                               jnp.asarray(is_edge), ones, zeros, valid)
         exp_px, exp_c = (px1, c1) if is_edge[0] else (px2, c2)
