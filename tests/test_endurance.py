@@ -89,5 +89,11 @@ def test_1000_frame_endurance():
     assert a < 0.01 * dist, f"ATE {a:.3f} m over {dist:.1f} m"
     assert late >= 0.8 * early, (
         f"residual-graph decay: res/pt {early:.2f} -> {late:.2f}")
-    assert min(im_hist[5:]) >= 0.25 * max(im_hist), (
-        f"immature pool collapsed: {min(im_hist[5:])} vs peak {max(im_hist)}")
+    # immature-pool health: momentary zeros are fine (a KF can activate or
+    # kill the whole pool in one step); SUSTAINED starvation is not — every
+    # 100-frame window (10 samples) must recover to >= 25% of peak
+    im = np.array(im_hist[5:])
+    win_max = np.array([im[i:i + 10].max() for i in range(len(im) - 9)])
+    assert win_max.min() >= 0.25 * im.max(), (
+        f"immature pool starved for >=100 frames: window maxima "
+        f"{win_max.min()} vs peak {im.max()}; hist tail {im[-30:]}")
