@@ -281,10 +281,19 @@ def main():
     if fps is not None:
         extra["scaling_efficiency"] = round(
             fps / (extra["B"] * fps_single), 3)
-        RECORD.update(
-            metric="synthetic_kitti_aggregate_frames_per_sec_per_chip",
-            value=round(fps, 3), vs_baseline=round(fps / 100.0, 4),
-            extra=extra)
+        # the chip's throughput is the best configuration: with the r4
+        # quad-gather content reductions the in-program fleet batching is
+        # a net LOSS (B=2 aggregate 2.48 < single 2.76 f/s — fleet-max
+        # while_loop iterations + lockstep staging outweigh the amortized
+        # per-op floors), so only report the aggregate when it wins
+        if fps > fps_single:
+            RECORD.update(
+                metric="synthetic_kitti_aggregate_frames_per_sec_per_chip",
+                value=round(fps, 3), vs_baseline=round(fps / 100.0, 4),
+                extra=extra)
+        else:
+            _log(f"fleet aggregate {fps:.2f} <= single-seq {fps_single:.2f}"
+                 " — reporting the single-sequence configuration")
     else:
         _log("fleet phase unavailable — reporting single-sequence result")
 

@@ -1296,7 +1296,7 @@ class FullSystem:
                      "num_good_res", "idepth_hessian", "res_active",
                      "matcher_px", "matcher_valid", "center",
                      "match_overflow", "match_diag", "match_diag_p2",
-                     "res_diag"]
+                     "res_diag", "death_diag"]
         if s.log_stuff:
             pull_keys += ["H_final", "b_final", "nullspaces", "rmse"]
         # dispatch DESCRIPTOR: the fleet driver (MultiSystem) folds aligned
@@ -1359,6 +1359,7 @@ class FullSystem:
         self.last_match_diag = np.asarray(small["match_diag"])
         self.last_match_diag_p2 = np.asarray(small["match_diag_p2"])
         self.last_res_diag = np.asarray(small["res_diag"])
+        self.last_death_diag = np.asarray(small["death_diag"])
 
         # chain the device-resident pool: kf_opt_step outputs become the
         # next keyframe's inputs without leaving the device

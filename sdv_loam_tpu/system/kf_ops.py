@@ -327,6 +327,13 @@ def _kf_opt_step_impl(
     pt_dead_frame = pt_valid3 & slot_flagged[jnp.clip(pt_host, 0, F - 1)]
     pt_valid4 = pt_valid3 & ~pt_dead_frame
 
+    # point-death causes per KF (matcher-health forensics): residual-less
+    # after removeOutliers / bad (idepth<0 or no residuals) / weak-dropped
+    # (oob & !strong) / marginalized / host-frame-marginalized
+    death_diag = jnp.stack([
+        pt_dead_outlier.sum(), bad.sum(), (oob & ~strong).sum(),
+        marg.sum(), pt_dead_frame.sum()]).astype(jnp.int32)
+
     def marg_one(slot, carry):
         HMc, bMc = carry
         HMn, bMn = backend.marginalize_frame(
@@ -356,6 +363,8 @@ def _kf_opt_step_impl(
         match_diag_p2=multi["diag"].sum(axis=0),
         # residual fates through this KF's BA (see _fates above)
         res_diag=res_diag,
+        # point-death causes (see death_diag above)
+        death_diag=death_diag,
         # pool state
         idepth=idepth_f, new_state=new_state, pt_valid=pt_valid4,
         center=centers,

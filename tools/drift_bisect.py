@@ -157,6 +157,7 @@ for i in range(_start, n):
               f" p1[{'/'.join(map(str, getattr(fs, 'last_match_diag', [])))}]"
               f" p2[{'/'.join(map(str, getattr(fs, 'last_match_diag_p2', [])))}]"
               f" rf[{';'.join(','.join(map(str, r)) for r in getattr(fs, 'last_res_diag', []))}]"
+              f" pd[{'/'.join(map(str, getattr(fs, 'last_death_diag', [])))}]"
               f" ref[n {nref:5d} zmed {zmed:5.1f}]"
               f" act {m.sum():4d} im {fs.im_valid.sum():4d}"
               f" sel {getattr(fs, 'last_new_traces', -1):4d}"
