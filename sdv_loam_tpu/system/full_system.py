@@ -183,6 +183,8 @@ class FullSystem:
         self._track_step_hist: list = []   # accepted per-frame step lengths
         self.kf_decision_hist: list = []   # (wsum, rms_flow_t, rms_flow_rt,
         #                                     need) per tracked frame
+        self.flag_hist: list = []   # (age_kfs, criterion, n_in, n_out) per
+        #                             marginalization flag
         self._pending = None               # pipelined-mode in-flight frame
         # SDV_SYNC_STAGES=1: block after each device dispatch so the
         # telemetry stage table separates device+dispatch time (stage host_s)
@@ -1443,6 +1445,13 @@ class FullSystem:
                     and n_window - flagged > s.min_frames):
                 self.slot_flagged[slot] = True
                 flagged += 1
+                # marginalization forensics: age + which criterion
+                self.flag_hist.append((
+                    int(self.frame_kf_id[self.order[-1]]
+                        - self.frame_kf_id[slot]),
+                    "depleted" if n_in < s.min_points_remaining
+                    * (n_in + n_out) else "affine", n_in, n_out))
+                del self.flag_hist[:-256]
         if n_window - flagged >= s.max_frames:
             # distance-score heuristic
             latest_id = self.frame_kf_id[self.order[-1]]
@@ -1466,6 +1475,11 @@ class FullSystem:
                     best_score, best_slot = dist_score, slot
             if best_slot is not None:
                 self.slot_flagged[best_slot] = True
+                self.flag_hist.append((
+                    int(self.frame_kf_id[self.order[-1]]
+                        - self.frame_kf_id[best_slot]), "distance",
+                    -1, -1))
+                del self.flag_hist[:-256]
 
     def _make_new_traces_steps(self, frame, slot):
         """Point selection + immature point creation (makeNewTraces).

@@ -327,12 +327,19 @@ def _kf_opt_step_impl(
     pt_dead_frame = pt_valid3 & slot_flagged[jnp.clip(pt_host, 0, F - 1)]
     pt_valid4 = pt_valid3 & ~pt_dead_frame
 
-    # point-death causes per KF (matcher-health forensics): residual-less
-    # after removeOutliers / bad (idepth<0 or no residuals) / weak-dropped
-    # (oob & !strong) / marginalized / host-frame-marginalized
+    # point-death causes per KF (matcher-health forensics):
+    #   [0] residual-less after removeOutliers
+    #   [1] bad (idepth<0 or no residuals at flag time)
+    #   [2] flagged-host exits (host frame being marginalized), weak+strong
+    #   [3] RETIREMENT exits: enough history but no newest-frame residual
+    #       (the visible-but-unmatched early-death channel)
+    #   [4] host-frame-marginalization leftovers
+    _flag_exit = jnp.array(slot_flagged)[jnp.clip(pt_host, 0, F - 1)]
     death_diag = jnp.stack([
-        pt_dead_outlier.sum(), bad.sum(), (oob & ~strong).sum(),
-        marg.sum(), pt_dead_frame.sum()]).astype(jnp.int32)
+        pt_dead_outlier.sum(), bad.sum(),
+        ((drop | marg) & _flag_exit).sum(),
+        ((drop | marg) & ~_flag_exit & ~bad).sum(),
+        pt_dead_frame.sum()]).astype(jnp.int32)
 
     def marg_one(slot, carry):
         HMc, bMc = carry
