@@ -121,6 +121,9 @@ class Settings:
     # 0 disables. Healthy BA corrections measure <=0.15 m / <0.02 rad.
     ba_step_veto_m: float = 0.5
     ba_step_veto_rad: float = 0.15
+    # >0: on a veto, first retry BA with this LM diagonal floor (trust
+    # region) before falling back to BA-off; 0 = binary veto (default)
+    ba_veto_damped_retry: float = 0.0
     # absolute LM damping floor (robustness deviation; solve_system). The
     # reference's multiplicative damping (1+lambda)*diag gives a thinned
     # window direction (diag~0) no stiffness at all — the mechanism behind

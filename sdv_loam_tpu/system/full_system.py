@@ -1249,7 +1249,7 @@ class FullSystem:
             gate_refresh=s.ba_gate_refresh,
             resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap)
 
-        def kf_args(iters_):
+        def kf_args(iters_, floor_=None):
             # host-side args are numpy-typed on purpose: jit transfers at
             # dispatch; eager jnp wraps cost one device program per arg
             return (
@@ -1284,14 +1284,15 @@ class FullSystem:
                 np.int32(iters_), np.int32(s.min_opt_iterations),
                 np.float32(s.th_opt_iterations),
                 np.bool_(s.force_accept_step),
-                np.float32(s.ba_lm_diag_floor),
+                np.float32(s.ba_lm_diag_floor if floor_ is None else floor_),
                 np.asarray(prior_marg), np.float32(s.marg_weight_fac),
                 np.int32(s.min_good_active_res_for_marg),
                 np.int32(s.min_good_res_for_marg),
                 np.float32(s.min_idepth_h_marg))
 
-        def dispatch(iters_):
-            return self._block(kf_opt_step(*kf_args(iters_), **statics))
+        def dispatch(iters_, floor_=None):
+            return self._block(kf_opt_step(*kf_args(iters_, floor_),
+                                           **statics))
 
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",
@@ -1317,11 +1318,11 @@ class FullSystem:
         # pre-BA shell pose, re-run the keyframe tail with BA disabled —
         # the tracked pose is cm-accurate, so a multi-meter BA "correction"
         # is categorically a solver pathology, not information.
-        if s.ba_step_veto_m > 0 and len(self.order) >= 4:
+        def _step_insane(sm):
             worst_t = worst_r = np.inf
             try:
-                T_cw_new = se3.se3_exp_np(np.array(small["eps"], np.float64)) \
-                    @ np.array(small["T_cw_fej"], np.float64)
+                T_cw_new = se3.se3_exp_np(np.array(sm["eps"], np.float64)) \
+                    @ np.array(sm["T_cw_fej"], np.float64)
                 T_wc_new = np.linalg.inv(T_cw_new)
                 if np.isfinite(T_wc_new).all():
                     worst_t = worst_r = 0.0
@@ -1335,11 +1336,29 @@ class FullSystem:
                                       float(np.arccos(np.clip(c, -1, 1))))
             except np.linalg.LinAlgError:
                 pass   # degenerate BA result -> veto
-            if (worst_t > s.ba_step_veto_m
+            return (worst_t > s.ba_step_veto_m
                     or worst_r > s.ba_step_veto_rad
-                    or not np.isfinite(small["energy"])):
-                self.telemetry.counters["ba_step_veto"] += 1
-                out = dispatch(0)
+                    or not np.isfinite(sm["energy"]))
+
+        if s.ba_step_veto_m > 0 and len(self.order) >= 4 \
+                and _step_insane(small):
+            self.telemetry.counters["ba_step_veto"] += 1
+            if s.ba_veto_damped_retry > 0:
+                # trust-region retry: re-run BA heavily damped instead of
+                # disabling it — idepths and small pose corrections keep
+                # flowing in degraded regimes (flag-gated; the binary veto
+                # below remains the fail-safe)
+                out = dispatch(iters, s.ba_veto_damped_retry)
+                small = yield {k: out[k] for k in pull_keys}
+                if not _step_insane(small):
+                    out2 = None
+                else:
+                    self.telemetry.counters["ba_step_veto_hard"] += 1
+                    out2 = dispatch(0)
+            else:
+                out2 = dispatch(0)
+            if out2 is not None:
+                out = out2
                 small = yield {k: out[k] for k in pull_keys}
 
         if s.log_stuff:

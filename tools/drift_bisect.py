@@ -76,6 +76,8 @@ if os.environ.get("DIAGFLOOR"):
     _kw["ba_lm_diag_floor"] = float(os.environ["DIAGFLOOR"])
 if os.environ.get("VETO_M"):
     _kw["ba_step_veto_m"] = float(os.environ["VETO_M"])
+if os.environ.get("DAMPEDRETRY"):
+    _kw["ba_veto_damped_retry"] = float(os.environ["DAMPEDRETRY"])
 s = Settings(**_kw)
 # checkpoint replay knobs for fast long-run iteration (the 500-frame
 # S-curve takes ~25 min on the tunneled TPU; a resume from frame ~390
