@@ -382,7 +382,17 @@ class FullSystem:
                 return
             if isinstance(req, tuple) and len(req) == 3 \
                     and req[0] == "dispatch_track":
-                self._pending = (gen, self._dispatch_request(req))
+                res = self._dispatch_request(req)
+                # issue the D2H copies NOW: the transfer overlaps the next
+                # frame's host staging, so the drain's device_get finds
+                # host-local data (~0.2 ms) instead of paying the ~30 ms
+                # blocking-pull round trip over the remote-TPU link
+                # (measured, tools/link_bench2.py; device_get only issues
+                # its own copy_to_host_async at pull time)
+                for leaf in jax.tree.leaves(res):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
+                self._pending = (gen, res)
                 return
             pulled = self._resolve_sync(req)
 

@@ -98,8 +98,10 @@ p2_512 = kf_variant("p2_cap=512", p2_cap=512)
 p2_8 = kf_variant("p2_cap=8", p2_cap=8)
 p1_8 = kf_variant("p1_cap=8", p1_cap=8)
 tr8 = kf_variant("track_ref_cap=8", track_ref_cap=8)
+base2 = kf_variant("base (re-measure)")
 print(f"--> pass2 cost ~{base - p2_8:.0f} ms (512: saves {base - p2_512:.0f})"
-      f", pass1 ~{base - p1_8:.0f} ms, track_ref ~{base - tr8:.0f} ms",
+      f", pass1 ~{base - p1_8:.0f} ms, track_ref ~{base - tr8:.0f} ms"
+      f", base drift {base:.0f} -> {base2:.0f} ms",
       flush=True)
 
 # ---------------- track_frame_step variants ----------------
@@ -123,5 +125,6 @@ def tr_variant(label, **kwo):
 tb = tr_variant("base")
 t1 = tr_variant("n_refine=1", n_refine=1)
 tsp = tr_variant("no struct pose", use_struct_pose=False)
+tb2 = tr_variant("base (re-measure)")
 print(f"--> refine x3->x1 saves {tb - t1:.0f} ms, struct pose"
-      f" ~{tb - tsp:.0f} ms", flush=True)
+      f" ~{tb - tsp:.0f} ms, base drift {tb:.0f} -> {tb2:.0f} ms", flush=True)
