@@ -29,6 +29,7 @@ _SCALARS = ("first_coarse_rmse", "current_min_act_dist", "ignore_kf",
 def save(fs: FullSystem, path: str) -> None:
     fs.flush()           # finish any pipelined in-flight frame
     fs._sync_immature()  # flush device-resident trace state into the pool
+    fs._sync_pool_mirrors()  # matcher store + centers (checkpoint-only pulls)
     data = dict(
         order=np.array(fs.order, np.int64),
         slot_used=fs.slot_used, T_cw_fej=fs.T_cw_fej, eps=fs.eps,

@@ -178,6 +178,7 @@ class FullSystem:
         self._trace_fresh = False      # pool holds unsynced trace output
         self._pt_dev = None            # device cache of track-step pool args
         self._kf_dev = None            # device-resident active pool mirror
+        self._centers_dev = None       # device-resident residual centers
         self._flat_stack = None        # (F, T, 3) flattened window pyramids
         self.track_iters_hist: list = []   # per-frame LM-iteration counts
         self._track_step_hist: list = []   # accepted per-frame step lengths
@@ -563,6 +564,15 @@ class FullSystem:
             with self.telemetry.stage("lidar"):
                 frame["scan"] = yield ("dispatch_lidar",
                                        (frame.pop("_cloud"),), {})
+        # KF-path scan scalars (selection density + mono-branch gate):
+        # issue their D2H copies NOW so the keyframe pipeline reads them
+        # host-locally (~0.2 ms) instead of paying a dedicated ~30 ms
+        # blocking-pull round trip per keyframe (the old "scal" yield)
+        frame["_scan_scal"] = {"bbox": frame["scan"]["bbox_area"],
+                               "add_feat": frame["scan"]["add_feature_point"]}
+        for v in frame["_scan_scal"].values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
 
         with self.telemetry.stage("track"):
             ok = yield from self._track_steps(frame)
@@ -1054,6 +1064,24 @@ class FullSystem:
             self._im_pool = p
         return self._im_pool
 
+    def _sync_pool_mirrors(self):
+        """Pull the checkpoint-only active-pool mirrors (matcher store,
+        residual centers) back to host in ONE device_get. The per-KF
+        readback deliberately omits them (~0.7 MB/KF ≈ ~35 ms at the
+        tunnel's ~20 MB/s download rate); between keyframes the device
+        chain is authoritative."""
+        if self._kf_dev is None:
+            return
+        req = {"matcher_px": self._kf_dev["matcher_px"],
+               "matcher_valid": self._kf_dev["matcher_valid"]}
+        if getattr(self, "_centers_dev", None) is not None:
+            req["center"] = self._centers_dev
+        pulled = jax.device_get(req)
+        self.matcher_px = np.array(pulled["matcher_px"], np.float32)
+        self.matcher_valid = np.array(pulled["matcher_valid"])
+        if "center" in pulled:
+            self.centers = np.array(pulled["center"], np.float32)
+
     def _sync_immature(self):
         """Pull the device-resident trace state back into the host pool."""
         if not self._trace_fresh or self._im_pool is None:
@@ -1122,17 +1150,16 @@ class FullSystem:
         return slot
 
     def _make_key_frame_steps(self, frame):
-        # dispatch the trace (device-chained), then pull the trace state and
-        # the scan's selection scalars in ONE host round-trip
+        # dispatch the trace (device-chained). The trace state stays
+        # device-resident: no host consumer needs it per-KF (activation
+        # reads the device pool; free-row accounting follows the ACTIVATE
+        # pull) — _sync_immature() pulls on demand (checkpoint/debug).
         yield from self._trace_steps(frame)
-        scal = yield dict(
-            bbox=frame["scan"]["bbox_area"],
-            add_feat=frame["scan"]["add_feature_point"],
-            trace={k: self._im_pool[k] for k in
-                   ("idepth_min", "idepth_max", "status", "quality",
-                    "pixel_interval")}
-            if self._trace_fresh and self._im_pool is not None else None)
-        self._apply_immature_sync(scal["trace"])
+        # scan scalars were async-copied at lidar dispatch (frame_steps);
+        # by now they are host-local, so this costs no link round trip
+        scal = jax.device_get(frame.get("_scan_scal") or {
+            "bbox": frame["scan"]["bbox_area"],
+            "add_feat": frame["scan"]["add_feature_point"]})
         frame["bbox_area"] = float(scal["bbox"])
         frame["add_feat"] = bool(scal["add_feat"])
         self._flag_frames_for_marginalization()
@@ -1304,10 +1331,14 @@ class FullSystem:
             return self._block(kf_opt_step(*kf_args(iters_, floor_),
                                            **statics))
 
+        # matcher_px / matcher_valid / center are NOT pulled: their only
+        # host consumer is checkpoint.save (kf_opt reads them from the
+        # device chain), and the ~0.7 MB payload cost ~35 ms/KF at the
+        # ~20 MB/s tunnel download rate — _sync_pool_mirrors() pulls them
+        # on demand instead
         pull_keys = ["eps", "calib", "T_cw_fej", "feth", "energy", "HM", "bM",
                      "stats_out", "idepth", "new_state", "pt_valid",
                      "num_good_res", "idepth_hessian", "res_active",
-                     "matcher_px", "matcher_valid", "center",
                      "match_overflow", "match_diag", "match_diag_p2",
                      "res_diag", "death_diag"]
         if s.log_stuff:
@@ -1419,9 +1450,10 @@ class FullSystem:
         self.pt["idepth_hessian"] = np.array(small["idepth_hessian"],
                                              np.float32)
         self.res_active = np.array(small["res_active"])
-        self.matcher_px = np.array(small["matcher_px"], np.float32)
-        self.matcher_valid = np.array(small["matcher_valid"])
-        self.centers = np.array(small["center"], np.float32)
+        # matcher_px / matcher_valid / centers host mirrors go STALE here
+        # by design; the device chain (_kf_dev, _centers_dev) is
+        # authoritative and _sync_pool_mirrors() refreshes on demand
+        self._centers_dev = out["center"]
         self.res_is_new[:] = False
 
         # new coarse-tracking reference (device-resident pools)
