@@ -170,6 +170,28 @@ class Settings:
     # one frame until flush(). Default False = reference parity
     # (linearizeOperation=true sequential mode).
     pipelined_frames: bool = False
+    # Defer the keyframe tail's control readback by one frame (pipelined
+    # mode only): the kf_opt program's small state is async-copied at
+    # dispatch and resolved at the NEXT frame's drain, so the host never
+    # blocks on the BA program. The next frame tracks against the
+    # device-chained post-BA window state (a tiny chained program builds
+    # its pose constants), while host mirrors/veto/telemetry lag one
+    # frame — the TPU analog of the reference's mapping-thread overlap
+    # with the dual coarse-tracker swap (FullSystem.cpp:853-859,902-1012;
+    # tracking there likewise proceeds while mapping finishes, and the
+    # reference README documents the resulting nondeterminism — here the
+    # schedule is deterministic). Trajectories are NOT bit-identical to
+    # sequential mode (f32 device pose staging + one-frame-late veto);
+    # tests gate equivalent QUALITY instead. MEASURED NEUTRAL on
+    # throughput as of round 4 (bench 3.23 vs 3.20 f/s): removing the
+    # kf_opt readback from the host path just moves the BA's device time
+    # into the next track's device wait, because the keyframe tail's
+    # select/activate readbacks still serialize its dispatches — the flag
+    # pays only once the tail is pull-free. Accuracy is schedule-
+    # perturbed with scene-dependent sign (bench scene 0.0211 -> 0.139 m,
+    # CPU 50-frame scene 0.411 -> 0.208 m). Default OFF until the tail
+    # readbacks are folded.
+    deferred_kf_readback: bool = False
     # weak per-frame pose prior (1/sigma^2) anchoring each window frame's
     # eps to its tracked insertion pose — see _insert_frame_slot. Default
     # 0 (reference semantics: prior only on the first keyframe). MEASURED

@@ -47,6 +47,23 @@ def _set_slot_stacks(dI0_stack, flat_stack, slot, dI0, flat0):
     return dI0_stack.at[slot].set(dI0), flat_stack.at[slot].set(flat0)
 
 
+@jax.jit
+def _window_track_consts(eps, T_cw_fej, ref_slot, ref_aff, aff, exposure, K0):
+    """Per-KF-constant tracking args built ON DEVICE from the kf_opt
+    output chain (deferred-readback mode): the next frame's track program
+    then consumes the post-BA window poses without the host ever pulling
+    them — the one consumer that otherwise forces a blocking kf_opt
+    readback before the next frame can track."""
+    T_cw = se3.se3_exp(eps.astype(jnp.float32)) @ T_cw_fej
+    T_wc = jnp.linalg.inv(T_cw)
+    return dict(ref_aff=ref_aff,
+                exp2=jnp.ones(2, jnp.float32),
+                inf5=jnp.full((5,), jnp.inf, jnp.float32),
+                ref_T_wc=T_wc[ref_slot],
+                T_wc_stack=T_wc.astype(jnp.float32),
+                aff=aff, exposure=exposure, K0=K0)
+
+
 def _rotation_ladder(rot_delta=0.02):
     """The 26 unit-quaternion rotation perturbations of trackNewCoarse
     (FullSystem.cpp:341-398)."""
@@ -187,6 +204,7 @@ class FullSystem:
         self.flag_hist: list = []   # (age_kfs, criterion, n_in, n_out) per
         #                             marginalization flag
         self._pending = None               # pipelined-mode in-flight frame
+        self._deferred_kf = None           # deferred kf_opt control readback
         # SDV_SYNC_STAGES=1: block after each device dispatch so the
         # telemetry stage table separates device+dispatch time (stage host_s)
         # from pure link time (sync_s) — profiling only, serializes pipeline
@@ -457,6 +475,10 @@ class FullSystem:
     def _drain_pending(self):
         """Resolve the pipelined-mode pending frame (pose readback, trace,
         keyframe pipeline). Idempotent; no-op in sequential mode."""
+        # a deferred kf_opt readback (from the keyframe processed in the
+        # PREVIOUS drain) resolves first: its host mirrors must be fresh
+        # before this drain's keyframe decision / tail can run
+        self._resolve_deferred_kf()
         if self._pending is None:
             return
         gen, req = self._pending
@@ -473,6 +495,9 @@ class FullSystem:
     def flush(self):
         """Finish any pipelined in-flight frame (call at sequence end)."""
         self._drain_pending()
+        # the drained frame may itself have been a keyframe that deferred
+        # its control readback — resolve it so shells/mirrors are final
+        self._resolve_deferred_kf()
 
     def frame_steps(self, image: np.ndarray, cloud: np.ndarray,
                     timestamp: float):
@@ -1194,11 +1219,12 @@ class FullSystem:
         self._commit_pool_dev(slot)
         with self.telemetry.stage("kf.opt"):
             yield from self._kf_opt_steps(frame, slot)
-        if self.is_lost:
-            return
+        # deferred-readback mode: _kf_opt_steps stashed the control pull;
+        # _kf_publish runs inside _resolve_kf_readback one frame later
 
-        self._pt_dev = None
-        self._track_const_dev = None
+    def _kf_publish(self):
+        """Per-KF telemetry line + observer publication (runs after the
+        kf_opt control readback has been applied to the host mirrors)."""
         self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
                                int(self.res_active.sum()),
                                float(self.last_coarse_rmse[0]))
@@ -1347,7 +1373,68 @@ class FullSystem:
         # KF rounds from several sequences into ONE vmapped program
         # (kf_ops.kf_opt_step_batch); the result stays device-resident
         out = yield ("dispatch_kf_opt", kf_args(iters), statics)
+        self._apply_kf_device_chain(out, slot)
+        ctx = dict(out=out, slot=slot, dispatch=dispatch,
+                   pull_keys=pull_keys, iters=iters)
+
+        if self.s.pipelined_frames and self.s.deferred_kf_readback:
+            # deferred control readback (the reference's mapping-thread
+            # overlap, FullSystem.cpp:902-1012): the next frame tracks
+            # against the device-chained post-BA state; the host applies
+            # mirrors/veto/telemetry at the NEXT frame's drain, when the
+            # async-copied pull is already host-local
+            self._track_const_dev = _window_track_consts(
+                out["eps"], out["T_cw_fej"], np.int32(slot),
+                np.asarray(self.track_ref_aff, np.float32),
+                np.asarray(self.aff, np.float32),
+                np.asarray(self.exposure, np.float32), out["calib"])
+            small_dev = {k: out[k] for k in pull_keys}
+            for v in jax.tree.leaves(small_dev):
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
+            self._deferred_kf = (small_dev, ctx)
+            return
         small = yield {k: out[k] for k in pull_keys}
+        self._resolve_kf_readback(small, ctx)
+
+    def _apply_kf_device_chain(self, out, slot):
+        """Chain the kf_opt outputs that downstream DEVICE programs consume
+        (active pool, tracking reference) — no readback required; runs at
+        dispatch time in both sync and deferred modes."""
+        self._kf_dev = dict(
+            self._kf_dev,
+            idepth=out["idepth"], res_state=out["new_state"],
+            pt_valid=out["pt_valid"], num_good_res=out["num_good_res"],
+            idepth_hessian=out["idepth_hessian"],
+            res_active=out["res_active"], matcher_px=out["matcher_px"],
+            matcher_valid=out["matcher_valid"])
+        self._centers_dev = out["center"]
+        self.track_ref = out["track_ref"]
+        self.track_ref_slot = slot
+        self.track_ref_aff = self.aff[slot].copy()
+        self.first_coarse_rmse = -1.0
+        self._pt_dev = None
+        self._track_const_dev = None
+
+    def _resolve_deferred_kf(self):
+        """Apply a stashed deferred kf_opt control readback (host mirrors,
+        veto, telemetry, observers). The pull data was async-copied at
+        dispatch, so the device_get here is ~free."""
+        if self._deferred_kf is None:
+            return
+        small_dev, ctx = self._deferred_kf
+        self._deferred_kf = None
+        with self.telemetry.stage("kf.resolve"):
+            with self.telemetry.sync():
+                small = jax.device_get(small_dev)
+            self._resolve_kf_readback(small, ctx)
+
+    def _resolve_kf_readback(self, small, ctx):
+        s = self.s
+        out = ctx["out"]
+        slot = ctx["slot"]
+        dispatch = ctx["dispatch"]
+        pull_keys = ctx["pull_keys"]
 
         # --- BA step sanity veto (robustness deviation, PARITY.md) ---
         # With the FEJ-anchored residual the LM accept energy is governed by
@@ -1389,8 +1476,8 @@ class FullSystem:
                 # disabling it — idepths and small pose corrections keep
                 # flowing in degraded regimes (flag-gated; the binary veto
                 # below remains the fail-safe)
-                out = dispatch(iters, s.ba_veto_damped_retry)
-                small = yield {k: out[k] for k in pull_keys}
+                out = dispatch(ctx["iters"], s.ba_veto_damped_retry)
+                small = jax.device_get({k: out[k] for k in pull_keys})
                 if not _step_insane(small):
                     out2 = None
                 else:
@@ -1400,7 +1487,19 @@ class FullSystem:
                 out2 = dispatch(0)
             if out2 is not None:
                 out = out2
-                small = yield {k: out[k] for k in pull_keys}
+                small = jax.device_get({k: out[k] for k in pull_keys})
+            # the veto replaces the BA output: re-chain the device pools
+            # and (deferred mode) the tracking constants. In deferred mode
+            # the ONE frame already in flight tracked against the vetoed
+            # chain — the same one-frame exposure the reference's
+            # tracking/mapping overlap has while mapping decides.
+            self._apply_kf_device_chain(out, slot)
+            if self.s.pipelined_frames and self.s.deferred_kf_readback:
+                self._track_const_dev = _window_track_consts(
+                    out["eps"], out["T_cw_fej"], np.int32(slot),
+                    np.asarray(self.track_ref_aff, np.float32),
+                    np.asarray(self.aff, np.float32),
+                    np.asarray(self.exposure, np.float32), out["calib"])
 
         if s.log_stuff:
             self.telemetry.log_hessian(len(self.kf_shells) - 1,
@@ -1423,17 +1522,7 @@ class FullSystem:
         self.last_res_diag = np.asarray(small["res_diag"])
         self.last_death_diag = np.asarray(small["death_diag"])
 
-        # chain the device-resident pool: kf_opt_step outputs become the
-        # next keyframe's inputs without leaving the device
-        self._kf_dev = dict(
-            self._kf_dev,
-            idepth=out["idepth"], res_state=out["new_state"],
-            pt_valid=out["pt_valid"], num_good_res=out["num_good_res"],
-            idepth_hessian=out["idepth_hessian"],
-            res_active=out["res_active"], matcher_px=out["matcher_px"],
-            matcher_valid=out["matcher_valid"])
-
-        # window state
+        # window state (device chain applied in _apply_kf_device_chain)
         self.T_cw_fej = np.array(small["T_cw_fej"], np.float64)
         self.eps = np.array(small["eps"], np.float64)
         self.K0 = np.array(small["calib"], np.float32)
@@ -1453,14 +1542,7 @@ class FullSystem:
         # matcher_px / matcher_valid / centers host mirrors go STALE here
         # by design; the device chain (_kf_dev, _centers_dev) is
         # authoritative and _sync_pool_mirrors() refreshes on demand
-        self._centers_dev = out["center"]
         self.res_is_new[:] = False
-
-        # new coarse-tracking reference (device-resident pools)
-        self.track_ref = out["track_ref"]
-        self.track_ref_slot = slot
-        self.track_ref_aff = self.aff[slot].copy()
-        self.first_coarse_rmse = -1.0
 
         # shell updates for in-window frames (optimize():494-500)
         T_wc = np.linalg.inv(self.T_cw)
@@ -1490,6 +1572,8 @@ class FullSystem:
             self.flat_slots[sl] = None
             self.eps[sl] = 0.0
             self.frame_prior[sl] = 0.0
+
+        self._kf_publish()
 
     def _flag_frames_for_marginalization(self):
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:25-94)."""
@@ -1837,5 +1921,5 @@ class FullSystem:
 
     def get_trajectory(self) -> np.ndarray:
         """(n, 4, 4) camToWorld per input frame (printResult)."""
-        self._drain_pending()
+        self.flush()
         return np.stack([sh["T_wc"] for sh in self.shells])

@@ -40,7 +40,9 @@ def _run(scene, **kw):
 def test_pipelined_matches_sequential(scene):
     n, seq = scene
     fs_seq = _run(scene)
-    fs_pipe = _run(scene, pipelined_frames=True)
+    # deferred_kf_readback changes the track staging numerics (device f32
+    # pose math) — bit-identity holds only with it off
+    fs_pipe = _run(scene, pipelined_frames=True, deferred_kf_readback=False)
     assert not fs_seq.is_lost and not fs_pipe.is_lost
     a = fs_seq.get_trajectory()
     b = fs_pipe.get_trajectory()
@@ -50,6 +52,23 @@ def test_pipelined_matches_sequential(scene):
     # happen, not what is computed)
     np.testing.assert_allclose(b, a, atol=1e-5)
     assert len(fs_pipe.kf_shells) == len(fs_seq.kf_shells)
+
+
+def test_deferred_kf_readback_quality(scene):
+    """Deferred kf_opt readback (the production pipelined mode): the
+    host never blocks on the BA program; window mirrors/veto lag one
+    frame and the next frame tracks against the device-chained post-BA
+    state. Trajectory is NOT bit-identical to sequential mode (f32
+    device pose staging), but must match ground truth equivalently."""
+    n, seq = scene
+    fs_seq = _run(scene)
+    fs_def = _run(scene, pipelined_frames=True, deferred_kf_readback=True)
+    assert not fs_def.is_lost
+    gt = seq.poses_wc[:n]
+    ate_seq = ate_rmse(fs_seq.get_trajectory(), gt)
+    ate_def = ate_rmse(fs_def.get_trajectory(), gt)
+    assert ate_def < max(2.0 * ate_seq, 0.02)
+    assert len(fs_def.kf_shells) == len(fs_seq.kf_shells)
 
 
 def test_pipelined_flush_idempotent(scene):
