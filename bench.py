@@ -132,20 +132,37 @@ def _run_single(seq, frames, warmup_frames, n_frames):
     return fps_single, extra, sys_bytes
 
 
-def _run_fleet(B, seqs, frame_sets, warmup_frames, n_frames):
+def _run_fleet(B, seqs, frame_sets, warmup_frames, n_frames,
+               mode="interleaved"):
     """Phase 2 at a fixed B. Returns (aggregate fps, extra-updates).
 
-    `seqs`: list of (calib, sensor, poses_wc) tuples."""
+    `seqs`: list of (calib, sensor, poses_wc) tuples.
+
+    Two fleet compositions (system/multi.py):
+      - "interleaved" (default): B pipelined FullSystems round-robined;
+        reuses the single-sequence programs phase 1 already compiled —
+        zero extra compiles — and each system's host staging hides behind
+        the others' in-flight device programs.
+      - "lockstep": the vmapped in-program batching (MultiSystem). After
+        the round-4 quad-gather content cuts it measured a net LOSS
+        (fleet-max while_loop iterations + lockstep staging), and its
+        B=8 batch programs OOM the chip at COLD compile, so it is opt-in
+        (SDV_BENCH_LOCKSTEP=1)."""
     from sdv_loam_tpu.config import Settings
     from sdv_loam_tpu.eval.ate import ate_rmse
     from sdv_loam_tpu.system.full_system import FullSystem
-    from sdv_loam_tpu.system.multi import MultiSystem
+    from sdv_loam_tpu.system.multi import InterleavedFleet, MultiSystem
     from sdv_loam_tpu.utils import hbm
 
     n_timed = n_frames - warmup_frames
-    ms = MultiSystem([FullSystem(seqs[b % len(seqs)][0],
-                                 seqs[b % len(seqs)][1], Settings())
-                      for b in range(B)])
+    systems = [FullSystem(seqs[b % len(seqs)][0], seqs[b % len(seqs)][1],
+                          Settings(pipelined_frames=mode == "interleaved"))
+               for b in range(B)]
+    if mode == "interleaved":
+        ms = InterleavedFleet(systems, workers=int(
+            os.environ.get("SDV_BENCH_FLEET_WORKERS", "0")))
+    else:
+        ms = MultiSystem(systems)
     for i in range(warmup_frames):  # fleet warmup (syncs, no compiles)
         t1 = time.perf_counter()
         ms.add_frames([frame_sets[b % len(seqs)][i] for b in range(B)])
@@ -164,7 +181,7 @@ def _run_fleet(B, seqs, frame_sets, warmup_frames, n_frames):
                            seqs[b % len(seqs)][2][:len(f.get_trajectory())]))
             for b, f in enumerate(ms.systems)]
     return fps, {
-        "B": B, "ate_m_fleet_max": round(max(ates), 4),
+        "B": B, "fleet_mode": mode, "ate_m_fleet_max": round(max(ates), 4),
         "lost_fleet": sum(f.is_lost for f in ms.systems),
         "fps_per_seq_in_fleet": round(fps / B, 3),
     }
@@ -180,29 +197,39 @@ def _fleet_child(argv):
     _setup_cache()
     B, path, warmup_frames, n_frames = (int(argv[0]), argv[1],
                                         int(argv[2]), int(argv[3]))
+    mode = argv[4] if len(argv) > 4 else "interleaved"
     with open(path, "rb") as f:
         data = pickle.load(f)
     fps, extra = _run_fleet(B, data["seqs"], data["frame_sets"],
-                            warmup_frames, n_frames)
+                            warmup_frames, n_frames, mode=mode)
     print(json.dumps({"fps": fps, "extra": extra}))
 
 
 def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
-    """Try the fleet phase at B0, halving B in a fresh subprocess per
-    attempt. Returns aggregate fps or None."""
+    """Try the fleet phase over (B, mode) attempts, each in a fresh
+    subprocess; halve B per mode. Returns best aggregate fps or None.
+
+    Interleaved attempts run first: they reuse phase 1's compiled
+    single-sequence programs (no cold compiles, no vmapped-batch
+    compile-time OOM risk). Lockstep (the vmapped in-program batching) is
+    opt-in via SDV_BENCH_LOCKSTEP=1 — round-4 measured it a net loss."""
     import pickle
     import subprocess
     path = "/tmp/sdv_bench_fleet_frames.pkl"
     with open(path, "wb") as f:
         pickle.dump({"seqs": [(s.calib, s.sensor, s.poses_wc) for s in seqs],
                      "frame_sets": frame_sets}, f)
+    modes = ["interleaved"]
+    if os.environ.get("SDV_BENCH_LOCKSTEP"):
+        modes.append("lockstep")
+    attempts = [(B, m) for m in modes
+                for B in ([B0] if B0 < 4 else [B0, B0 // 2])]
     best = None
-    B = B0
-    while B >= 2:
+    for B, mode in attempts:
         t0 = time.perf_counter()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--fleet", str(B),
-             path, str(warmup_frames), str(n_frames)],
+             path, str(warmup_frames), str(n_frames), mode],
             capture_output=True, text=True, timeout=7200)
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() \
@@ -216,21 +243,20 @@ def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
             fextra = out["extra"]
         except (json.JSONDecodeError, KeyError):
             msg = (proc.stderr.strip().splitlines() or ["no stderr"])[-1][:160]
-            _log(f"fleet attempt B={B} failed after "
+            _log(f"fleet attempt B={B} {mode} failed after "
                  f"{time.perf_counter() - t0:.0f}s: {msg}")
-            extra.setdefault("fleet_errors", []).append({"B": B, "error": msg})
-            B //= 2
+            extra.setdefault("fleet_errors", []).append(
+                {"B": B, "mode": mode, "error": msg})
             continue
-        _log(f"fleet B={B}: {fps:.3f} f/s aggregate "
+        _log(f"fleet B={B} {mode}: {fps:.3f} f/s aggregate "
              f"({fextra.get('fps_per_seq_in_fleet')}/seq)")
         extra.setdefault("fleet_tried", []).append(
-            {"B": B, "fps": round(fps, 3)})
-        # the aggregate-vs-B curve is not monotone (in-program batching
-        # amortizes per-op floors but grows the working set), so keep
-        # halving and report the best completed B
+            {"B": B, "mode": mode, "fps": round(fps, 3)})
+        # the aggregate-vs-B curve is not monotone (deeper queues hide more
+        # host time but grow the working set), so try both sizes and
+        # report the best completed attempt
         if best is None or fps > best[0]:
             best = (fps, fextra)
-        B //= 2
     if best is None:
         return None
     extra.update(best[1])

@@ -263,3 +263,64 @@ class MultiSystem:
     @property
     def any_lost(self):
         return any(fs.is_lost for fs in self.systems)
+
+
+class InterleavedFleet:
+    """B independent pipelined FullSystems round-robined per frame round.
+
+    The alternative fleet composition to MultiSystem's vmapped lockstep:
+    each sequence keeps its OWN single-sequence device programs (one
+    compile shared across systems — identical shapes hit the same
+    executable) streamed back-to-back on the chip, and the overlap comes
+    from `Settings.pipelined_frames`: while system b's track program is in
+    flight, systems b+1..B stage their frames and drain their keyframe
+    tails, so host Python hides behind other sequences' device time.
+
+    Measured motivation (ROADMAP round-4): after the quad-gather content
+    cuts, in-program vmapped batching is a net LOSS (fleet-max
+    `lax.while_loop` iterations + lockstep staging outweigh the amortized
+    per-op floors). Interleaving has neither pathology — every program
+    runs its own iteration count and no generator ever waits for a
+    lockstep peer — at the cost of B times the program launches (~4-5 ms
+    each streamed, small vs ~100+ ms/frame device content).
+
+    Reference analog: one odometry process per sequence sharing a machine
+    (SURVEY.md §2.6); here they share one chip's FIFO queue instead.
+    """
+
+    def __init__(self, systems, workers: int = 0):
+        self.systems = list(systems)
+        # workers>0: advance each system on its own thread so one system's
+        # blocking device sync (KF-tail readbacks) does not stall the
+        # others' host staging. Each system is only ever touched by its
+        # own per-round task, so per-sequence ordering — and therefore the
+        # trajectory — is unchanged (jax dispatch is thread-safe).
+        self._pool = None
+        if workers > 0 and len(self.systems) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=min(workers, len(self.systems)))
+
+    def __len__(self):
+        return len(self.systems)
+
+    def add_frames(self, frames):
+        """One frame round: frames[b] -> systems[b] ((img, cloud, ts) or
+        None to skip a sequence this round)."""
+        if self._pool is not None:
+            futs = [self._pool.submit(fs.add_active_frame, *fr)
+                    for fs, fr in zip(self.systems, frames) if fr is not None]
+            for f in futs:
+                f.result()
+            return
+        for fs, fr in zip(self.systems, frames):
+            if fr is not None:
+                fs.add_active_frame(*fr)
+
+    def flush(self):
+        for fs in self.systems:
+            fs.flush()
+
+    @property
+    def any_lost(self):
+        return any(fs.is_lost for fs in self.systems)

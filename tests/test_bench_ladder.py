@@ -5,9 +5,14 @@ the completed single-sequence phase, and round 4 found a second bug class:
 a crashed child's catch-all prints the RECORD template (valid JSON without
 "fps"), which must be treated as a FAILED attempt, not merged into extra.
 These tests pin the ladder against both, with subprocess mocked out.
+
+Round 5 added fleet modes: interleaved attempts run by default (they need
+no extra compiles); the vmapped lockstep attempts are opt-in via
+SDV_BENCH_LOCKSTEP=1.
 """
 
 import json
+import os
 import types
 from unittest import mock
 
@@ -29,31 +34,51 @@ def _proc(stdout, stderr=""):
     return p
 
 
-def _run_ladder(stdouts):
+def _run_ladder(stdouts, B0=8):
     """Drive _fleet_ladder with scripted child stdout per attempt."""
     calls = []
 
     def fake_run(cmd, **kw):
-        calls.append(int(cmd[cmd.index("--fleet") + 1]))
+        calls.append((int(cmd[cmd.index("--fleet") + 1]), cmd[-1]))
         return _proc(stdouts[len(calls) - 1])
 
     extra = {}
     with mock.patch("subprocess.run", side_effect=fake_run):
-        fps = bench._fleet_ladder(8, [_Seq()], [[None]], 1, 2, extra)
+        fps = bench._fleet_ladder(B0, [_Seq()], [[None]], 1, 2, extra)
     return fps, extra, calls
 
 
-def test_ladder_keeps_best_B():
-    """Every B is tried; the best aggregate is returned with ITS extra."""
+def test_ladder_keeps_best_attempt():
+    """Every (B, mode) attempt is tried; the best aggregate is returned
+    with ITS extra."""
     fps, extra, calls = _run_ladder([
         json.dumps({"fps": 1.0, "extra": {"B": 8}}),
         json.dumps({"fps": 2.5, "extra": {"B": 4}}),
-        json.dumps({"fps": 1.8, "extra": {"B": 2}}),
     ])
-    assert calls == [8, 4, 2]
+    assert calls == [(8, "interleaved"), (4, "interleaved")]
     assert fps == 2.5
     assert extra["B"] == 4
-    assert [t["B"] for t in extra["fleet_tried"]] == [8, 4, 2]
+    assert [t["B"] for t in extra["fleet_tried"]] == [8, 4]
+
+
+def test_lockstep_attempts_are_opt_in():
+    """SDV_BENCH_LOCKSTEP=1 appends the vmapped-lockstep attempts after
+    the interleaved ones (they cold-compile huge batch programs, so they
+    never run by default)."""
+    outs = [json.dumps({"fps": float(i + 1), "extra": {"B": 0}})
+            for i in range(4)]
+    with mock.patch.dict(os.environ, {"SDV_BENCH_LOCKSTEP": "1"}):
+        fps, extra, calls = _run_ladder(outs)
+    assert calls == [(8, "interleaved"), (4, "interleaved"),
+                     (8, "lockstep"), (4, "lockstep")]
+    assert fps == 4.0
+
+
+def test_small_fleet_single_attempt_per_mode():
+    fps, extra, calls = _run_ladder(
+        [json.dumps({"fps": 1.0, "extra": {"B": 2}})], B0=2)
+    assert calls == [(2, "interleaved")]
+    assert fps == 1.0
 
 
 def test_crashed_child_record_template_is_a_failure():
@@ -65,16 +90,15 @@ def test_crashed_child_record_template_is_a_failure():
     fps, extra, calls = _run_ladder([
         template,
         json.dumps({"fps": 1.5, "extra": {"B": 4}}),
-        json.dumps({"fps": 1.2, "extra": {"B": 2}}),
     ])
-    assert calls == [8, 4, 2]
+    assert calls == [(8, "interleaved"), (4, "interleaved")]
     assert fps == 1.5
     assert "error" not in extra
     assert extra["fleet_errors"][0]["B"] == 8
 
 
 def test_all_attempts_failing_returns_none():
-    fps, extra, calls = _run_ladder(["", "garbage", "{}"])
+    fps, extra, calls = _run_ladder(["", "garbage"])
     assert fps is None
-    assert calls == [8, 4, 2]
-    assert len(extra["fleet_errors"]) == 3
+    assert len(calls) == 2
+    assert len(extra["fleet_errors"]) == 2

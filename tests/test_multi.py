@@ -94,3 +94,35 @@ def test_batched_track_matches_unbatched():
     out = run(True)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_interleaved_matches_single():
+    """The interleaved fleet (B pipelined systems round-robined) must be
+    bit-identical per sequence to running each system alone in pipelined
+    mode: systems share only the device queue, never state."""
+    n = 8
+    seqs = [make_sequence(n_frames=n, w=320, h=96, step=0.8,
+                          yaw_rate=yr, lidar_stride=2)
+            for yr in (0.004, 0.012)]
+
+    def _ps():
+        return Settings(desired_immature_density=600,
+                        desired_point_density=800, n_active_cap=2048,
+                        n_immature_cap=2048, pipelined_frames=True)
+
+    singles = []
+    for seq in seqs:
+        fs = FullSystem(seq.calib, seq.sensor, _ps())
+        for i in range(n):
+            fs.add_active_frame(*seq.get(i))
+        singles.append(fs.get_trajectory())
+
+    from sdv_loam_tpu.system.multi import InterleavedFleet
+    fleet = InterleavedFleet([FullSystem(seq.calib, seq.sensor, _ps())
+                              for seq in seqs])
+    for i in range(n):
+        fleet.add_frames([seq.get(i) for seq in seqs])
+    fleet.flush()
+    for fs, ref in zip(fleet.systems, singles):
+        np.testing.assert_array_equal(fs.get_trajectory(), ref)
+        assert not fs.is_lost
