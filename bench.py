@@ -15,7 +15,8 @@ Two phases:
 
 Fleet capacity management (VERDICT r3 item 1): B is picked from measured
 per-system device bytes vs the chip's HBM budget (utils/hbm.py), and the
-fleet phase runs under a retry ladder that halves B on RESOURCE_EXHAUSTED.
+fleet phase runs attempts at B, B/2, ..., 2 so an OOM or crash at a large
+B degrades to a smaller completed fleet instead of losing the phase.
 Each attempt runs in a SUBPROCESS: a TPU ResourceExhausted poisons the
 backend for the rest of the process (measured: after a failed B=8, even
 B=2 fails in-process but succeeds in a fresh process), so isolation is the
@@ -207,12 +208,16 @@ def _fleet_child(argv):
 
 def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
     """Try the fleet phase over (B, mode) attempts, each in a fresh
-    subprocess; halve B per mode. Returns best aggregate fps or None.
+    subprocess; halve B per mode down to 2. Returns best aggregate fps or
+    None (B0 < 2 means the HBM budget fits no real fleet — skip the phase
+    and let the caller report the single-sequence configuration).
 
     Interleaved attempts run first: they reuse phase 1's compiled
     single-sequence programs (no cold compiles, no vmapped-batch
     compile-time OOM risk). Lockstep (the vmapped in-program batching) is
     opt-in via SDV_BENCH_LOCKSTEP=1 — round-4 measured it a net loss."""
+    if B0 < 2:
+        return None
     import pickle
     import subprocess
     path = "/tmp/sdv_bench_fleet_frames.pkl"
@@ -222,10 +227,20 @@ def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
     modes = ["interleaved"]
     if os.environ.get("SDV_BENCH_LOCKSTEP"):
         modes.append("lockstep")
-    attempts = [(B, m) for m in modes
-                for B in ([B0] if B0 < 4 else [B0, B0 // 2])]
+    sizes = []
+    B = B0
+    while B >= 2:
+        sizes.append(B)
+        B //= 2
+    # the aggregate-vs-B curve is flat near the top (the chip saturates),
+    # so stop a mode after its two largest COMPLETED attempts; failures
+    # keep halving so the ladder still recovers a small fleet from OOMs
+    attempts = [(B, m) for m in modes for B in sizes]
+    done_per_mode = {m: 0 for m in modes}
     best = None
     for B, mode in attempts:
+        if done_per_mode[mode] >= 2:
+            continue
         t0 = time.perf_counter()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--fleet", str(B),
@@ -248,6 +263,7 @@ def _fleet_ladder(B0, seqs, frame_sets, warmup_frames, n_frames, extra):
             extra.setdefault("fleet_errors", []).append(
                 {"B": B, "mode": mode, "error": msg})
             continue
+        done_per_mode[mode] += 1
         _log(f"fleet B={B} {mode}: {fps:.3f} f/s aggregate "
              f"({fextra.get('fps_per_seq_in_fleet')}/seq)")
         extra.setdefault("fleet_tried", []).append(

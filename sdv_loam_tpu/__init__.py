@@ -39,12 +39,30 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # the exact microarch, and loading an entry compiled with mismatched CPU
 # features (the cpu_aot_loader warnings) can SIGILL/segfault — observed
 # 2026-08-18 as a hard segfault in compilation_cache.get_executable_and_time
-# when CPU and TPU runs shared one directory across hosts.
+# when CPU and TPU runs shared one directory across hosts. The CPU cache is
+# additionally keyed by a fingerprint of this host's CPU model+flags so a
+# cache directory carried across machines (the driver runs on varying
+# hosts) never feeds mismatched AOT code to the loader.
+
+
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            txt = f.read()
+        lines = sorted({ln for ln in txt.splitlines()
+                        if ln.startswith(("model name", "flags"))})
+        return hashlib.sha1("\n".join(lines).encode()).hexdigest()[:10]
+    except OSError:
+        import platform
+        return platform.machine()
+
+
 try:
     _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
                              _os.path.expanduser("~/.cache/jax_comp_cache"))
     if "cpu" in str(_jax.config.jax_platforms or ""):
-        _cache = _cache + "_cpu"
+        _cache = _cache + "_cpu_" + _cpu_fingerprint()
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -308,8 +308,13 @@ class InterleavedFleet:
         """One frame round: frames[b] -> systems[b] ((img, cloud, ts) or
         None to skip a sequence this round)."""
         if self._pool is not None:
+            import concurrent.futures as cf
             futs = [self._pool.submit(fs.add_active_frame, *fr)
                     for fs, fr in zip(self.systems, frames) if fr is not None]
+            # wait for ALL rounds before surfacing the first error: a
+            # raising f.result() loop would leave later futures mutating
+            # their systems while the caller unwinds
+            cf.wait(futs)
             for f in futs:
                 f.result()
             return

@@ -96,10 +96,16 @@ def test_batched_track_matches_unbatched():
         np.testing.assert_allclose(b, a, atol=1e-5)
 
 
-def test_interleaved_matches_single():
+import pytest
+
+
+@pytest.mark.parametrize("workers", [0, 2])
+def test_interleaved_matches_single(workers):
     """The interleaved fleet (B pipelined systems round-robined) must be
     bit-identical per sequence to running each system alone in pipelined
-    mode: systems share only the device queue, never state."""
+    mode, in both the serial and the threaded (workers>0) drivers: systems
+    share only the device queue, never state (ADVICE r4: the threaded path
+    previously ran only under SDV_BENCH_FLEET_WORKERS, untested)."""
     n = 8
     seqs = [make_sequence(n_frames=n, w=320, h=96, step=0.8,
                           yaw_rate=yr, lidar_stride=2)
@@ -119,7 +125,7 @@ def test_interleaved_matches_single():
 
     from sdv_loam_tpu.system.multi import InterleavedFleet
     fleet = InterleavedFleet([FullSystem(seq.calib, seq.sensor, _ps())
-                              for seq in seqs])
+                              for seq in seqs], workers=workers)
     for i in range(n):
         fleet.add_frames([seq.get(i) for seq in seqs])
     fleet.flush()
