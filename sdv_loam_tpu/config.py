@@ -311,11 +311,21 @@ class Settings:
                    min_opt_iterations=1)
 
     @classmethod
-    def preset_fast(cls) -> "Settings":
-        """Preset 2/3 (main.cpp:217-238): 800 pts, 4-6 KFs, 1-4 iters."""
-        return cls(desired_immature_density=600.0, desired_point_density=800.0,
-                   min_frames=4, max_frames=6, max_opt_iterations=4,
-                   min_opt_iterations=1)
+    def preset_fast(cls, **overrides) -> "Settings":
+        """Preset 2/3 (main.cpp:217-238): 800 pts, 4-6 KFs, 1-4 iters at
+        424x320 input. The reference defines this as its 5x-speed mode; the
+        TPU build additionally shrinks the fixed pool capacities to match —
+        gather-bound stage cost scales with LANE count, not occupancy
+        (CLAUDE.md TPU economics), so the caps are the real content knob."""
+        kw = dict(desired_immature_density=600.0, desired_point_density=800.0,
+                  min_frames=4, max_frames=6, max_opt_iterations=4,
+                  min_opt_iterations=1,
+                  n_frames_cap=7,            # max_frames(6) + incoming
+                  n_immature_cap=1024, n_select_cap=2048,
+                  n_active_cap=2048, n_lidar_cand_cap=8192,
+                  track_ref_caps=(3072, 2048, 1024, 512))
+        kw.update(overrides)
+        return cls(**kw)
 
     @cached_property
     def pattern(self) -> np.ndarray:

@@ -46,9 +46,21 @@ class Plane:
     ev: np.ndarray       # in-plane texture axis v
     bounds: tuple        # (umin, umax, vmin, vmax) in plane coords, or None
     tex_seed: int
+    contrast: float = 1.0  # texture amplitude scale (asphalt ground ~0.1:
+    #   real roads are texture-poor, so point selection and the tracker's
+    #   flow statistics concentrate on the farther building fronts — the
+    #   KITTI-statistical operating point, VERDICT r4 item 4)
+    # sparse high-contrast patches (lane markings / cracks / manholes):
+    # real asphalt is feature-POOR, not feature-FREE — a small fraction of
+    # near-field ground points must survive selection or the system flips
+    # into its mono-supplement mode (measured: uniform contrast 0.08
+    # floods the map with far mono points, ATE 7x worse)
+    patch_frac: float = 0.0   # fraction of patch cells at high contrast
+    patch_size: float = 2.5   # patch cell size (world units)
+    patch_contrast: float = 0.7
 
 
-def _texture(u, v, seed, footprint=0.0):
+def _texture(u, v, seed, footprint=0.0, contrast=1.0):
     """Band-limited procedural texture in [10, 245].
 
     `footprint` is the per-sample pixel footprint on the surface (world
@@ -89,14 +101,16 @@ def _texture(u, v, seed, footprint=0.0):
     # absolute contrast/gradient statistics (selection thresholds, huber
     # scales) carry over; attenuated (distant) areas keep genuinely lower
     # contrast — the analytic mip behavior
-    out = out * (0.373 / np.sqrt(var))
+    out = out * (0.373 / np.sqrt(var)) * contrast
     return np.clip(127.0 + 110.0 * out, 10.0, 245.0)
 
 
 def default_scene(cam_height: float = 1.65, half_width: float = 9.0,
-                  far: float = 260.0) -> list[Plane]:
+                  far: float = 260.0, ground_contrast: float = 1.0,
+                  ground_patches: float = 0.0) -> list[Plane]:
     g = Plane(np.array([0.0, cam_height, 0.0]), np.array([0.0, -1.0, 0.0]),
-              np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]), None, 11)
+              np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]), None, 11,
+              contrast=ground_contrast, patch_frac=ground_patches)
     left = Plane(np.array([-half_width, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
                  np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), None, 22)
     right = Plane(np.array([half_width, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
@@ -108,7 +122,8 @@ def default_scene(cam_height: float = 1.65, half_width: float = 9.0,
 
 def scene_along_path(poses_wc: np.ndarray, half_width: float = 9.0,
                      seg_len: float = 20.0, cam_height: float = 1.65,
-                     wall_top: float = 9.0) -> list[Plane]:
+                     wall_top: float = 9.0, ground_contrast: float = 1.0,
+                     ground_patches: float = 0.0) -> list[Plane]:
     """A winding canyon: bounded wall segments flanking the TRAJECTORY.
 
     The default corridor is straight and world-fixed, so any trajectory
@@ -125,7 +140,8 @@ def scene_along_path(poses_wc: np.ndarray, half_width: float = 9.0,
     planes = [Plane(np.array([0.0, cam_height, 0.0]),
                     np.array([0.0, -1.0, 0.0]),
                     np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
-                    None, 11)]
+                    None, 11, contrast=ground_contrast,
+                    patch_frac=ground_patches)]
     up = np.array([0.0, -1.0, 0.0])                # world -y is up
     seed = 100
     s = 0.0
@@ -196,7 +212,17 @@ def _raycast(scene, origins, dirs, t_min=0.15, t_max=400.0, px_scale=0.0):
                 fp = (t[closer] * px_scale) / np.maximum(cosi, 0.05)
             else:
                 fp = 0.0
-            inten = _texture(u[closer], v[closer], pl.tex_seed, fp)
+            contrast = pl.contrast
+            if pl.patch_frac > 0.0:
+                # deterministic per-cell hash: sparse high-contrast patches
+                cu = np.floor(u[closer] / pl.patch_size)
+                cv = np.floor(v[closer] / pl.patch_size)
+                hsh = np.modf(np.sin(cu * 12.9898 + cv * 78.233
+                                     + pl.tex_seed) * 43758.5453)[0]
+                contrast = np.where(np.abs(hsh) < pl.patch_frac,
+                                    pl.patch_contrast, pl.contrast)
+            inten = _texture(u[closer], v[closer], pl.tex_seed, fp,
+                             contrast=contrast)
             best_t[closer] = t[closer]
             best_i[closer] = inten
     return best_t, best_i
@@ -304,11 +330,15 @@ def s_curve_profile(n_frames: int, peak: float = 0.006,
 
 
 def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
-                  fx: float | None = None, step: float = 1.0,
+                  fx: float | None = None, fy: float | None = None,
+                  step: float = 1.0,
                   yaw_rate=0.004, seed: int = 7,
                   lidar_stride: int = 4,
                   half_width: float = 9.0,
-                  follow_path: bool = False) -> SyntheticSequence:
+                  follow_path: bool = False,
+                  ground_contrast: float = 1.0,
+                  ground_patches: float = 0.0,
+                  cy_offset: float = -0.12) -> SyntheticSequence:
     """Build a synthetic sequence. Default small size for tests; use
     (1200, 360) with fx≈718 and half_width≈15 for KITTI-like benchmark
     runs (KITTI streets put structure 10-20 m to the sides).
@@ -319,12 +349,26 @@ def make_sequence(n_frames: int = 20, w: int = 320, h: int = 96,
     world-fixed corridor degenerates there."""
     if fx is None:
         fx = 0.6 * w  # ~horizontal FOV of KITTI
-    calib = make_pyramid_calib(w, h, fx, fx, (w - 1) / 2.0, (h - 1) / 2.0 - h * 0.12)
-    sensor = SensorCalib(np.array([fx, fx, (w - 1) / 2.0, (h - 1) / 2.0]),
+    if fy is None:
+        fy = fx       # anisotropic fy mimics non-proportional resizes like
+        #             the reference fast preset's 1241x376 -> 424x320
+    # cy_offset (fraction of h, added to the image center): the default
+    # -0.12 shows extra near ground (good LiDAR coverage for small test
+    # scenes). Real cropped KITTI has only ~174 px below the principal
+    # point, which geometrically BOUNDS near-ground optical flow at
+    # ~20-28 px/frame — use cy_offset=0 for KITTI-statistical benches
+    # (VERDICT r4 item 4; see tools/scene_flow_tune.py).
+    cy = (h - 1) / 2.0 + h * cy_offset
+    calib = make_pyramid_calib(w, h, fx, fy, (w - 1) / 2.0, cy)
+    sensor = SensorCalib(np.array([fx, fy, (w - 1) / 2.0, cy]),
                          _R_CL.copy(), _T_CL.copy())
     poses = make_trajectory(n_frames, step=step, yaw_rate=yaw_rate, seed=seed)
     ts = np.arange(n_frames) * 0.1
-    scene = scene_along_path(poses, half_width=half_width) if follow_path \
-        else default_scene(half_width=half_width)
+    scene = scene_along_path(poses, half_width=half_width,
+                             ground_contrast=ground_contrast,
+                             ground_patches=ground_patches) if follow_path \
+        else default_scene(half_width=half_width,
+                           ground_contrast=ground_contrast,
+                           ground_patches=ground_patches)
     return SyntheticSequence(calib, sensor, poses, scene, ts,
                              lidar_stride=lidar_stride)

@@ -94,22 +94,28 @@ class FullSystem:
 
     def __init__(self, calib: PyramidCalib, sensor: SensorCalib,
                  settings: Settings | None = None, observers=None,
-                 telemetry=None):
+                 telemetry=None, device=None):
         self.calib = calib
         self.sensor = sensor
         self.s = settings or Settings()
         self.observers = list(observers or [])
         from sdv_loam_tpu.io.telemetry import Telemetry
         self.telemetry = telemetry or Telemetry()
+        # `device`: pin every upload / eager op / jit dispatch of this
+        # system to one jax device (fleet mode: one sequence per chip —
+        # the reference's one-process-per-sequence analog, SURVEY.md §2.6).
+        # None = backend default (single-chip behavior unchanged).
+        self.device = device
         s = self.s
 
         self.w = calib.w[0]
         self.h = calib.h[0]
         self.levels = calib.levels
         self.K0 = np.array(calib.intrinsics_vec(0), np.float32)
-        self.Ks = tuple(jnp.asarray(
-            [calib.fx[l], calib.fy[l], calib.cx[l], calib.cy[l]], jnp.float32)
-            for l in range(self.levels))
+        with self._on_device():
+            self.Ks = tuple(jnp.asarray(
+                [calib.fx[l], calib.fy[l], calib.cx[l], calib.cy[l]],
+                jnp.float32) for l in range(self.levels))
 
         self.F = s.n_frames_cap
         self.N = s.n_active_cap
@@ -130,7 +136,8 @@ class FullSystem:
         self.frame_shell_idx = np.full(F, -1, np.int64)
         self.slot_flagged = np.zeros(F, bool)
         self.slot_stats_out = np.zeros(F, np.int64)  # marginalized+dropped pts
-        self.dI0_stack = jnp.zeros((F, self.h, self.w, 3), jnp.float32)
+        with self._on_device():
+            self.dI0_stack = jnp.zeros((F, self.h, self.w, 3), jnp.float32)
         self.pyr_slots: list = [None] * F     # per-slot pyramid tuples
         self.flat_slots: list = [None] * F    # per-slot flattened pyramids
 
@@ -299,6 +306,17 @@ class FullSystem:
                 aff_pair[p] = [a, self.aff[tslot][1] - a * self.aff[hslot][1]]
         return R_pair, t_pair, aff_pair
 
+    def _on_device(self):
+        """Scope eager ops, uploads and jit dispatches to this system's
+        pinned device (`device=` ctor arg). Uncommitted arrays follow
+        `jax.default_device`, and jits with inputs committed to one device
+        execute there — so scoping the entry points pins the whole
+        system. No-op (null context) when unpinned."""
+        if self.device is None:
+            import contextlib
+            return contextlib.nullcontext()
+        return jax.default_device(self.device)
+
     @staticmethod
     def _pad_bucket(arrs, bucket=512):
         """Pad a list of equal-length arrays to the next bucket multiple so
@@ -363,6 +381,10 @@ class FullSystem:
         the trajectory matches sequential mode up to dispatch-order
         numerics; only host/device overlap changes. `is_lost` and shell
         poses lag one frame; `flush()` (or `get_trajectory`) drains."""
+        with self._on_device():
+            return self._add_active_frame(image, cloud, timestamp)
+
+    def _add_active_frame(self, image, cloud, timestamp):
         if not (self.s.pipelined_frames and self.initialized
                 and not self.is_lost and len(self.shells) >= 2):
             self._drain_pending()
@@ -494,10 +516,11 @@ class FullSystem:
 
     def flush(self):
         """Finish any pipelined in-flight frame (call at sequence end)."""
-        self._drain_pending()
-        # the drained frame may itself have been a keyframe that deferred
-        # its control readback — resolve it so shells/mirrors are final
-        self._resolve_deferred_kf()
+        with self._on_device():
+            self._drain_pending()
+            # the drained frame may itself have been a keyframe that
+            # deferred its control readback — resolve it for final shells
+            self._resolve_deferred_kf()
 
     def frame_steps(self, image: np.ndarray, cloud: np.ndarray,
                     timestamp: float):

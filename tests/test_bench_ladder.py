@@ -39,12 +39,13 @@ def _run_ladder(stdouts, B0=8):
     calls = []
 
     def fake_run(cmd, **kw):
-        calls.append((int(cmd[cmd.index("--fleet") + 1]), cmd[-1]))
+        calls.append((int(cmd[cmd.index("--fleet") + 2]), cmd[-1]))
         return _proc(stdouts[len(calls) - 1])
 
     extra = {}
     with mock.patch("subprocess.run", side_effect=fake_run):
-        fps = bench._fleet_ladder(B0, [_Seq()], [[None]], 1, 2, extra)
+        fps = bench._fleet_ladder("default", B0, [_Seq()], [[None]], 2,
+                                  extra)
     return fps, extra, calls
 
 
@@ -84,21 +85,34 @@ def test_small_fleet_single_attempt_per_mode():
 def test_crashed_child_record_template_is_a_failure():
     """A child that dies prints the RECORD template (valid JSON, no
     "fps"): the ladder must log it as a failure and NOT merge its extra
-    (round-4 leak: the template's error field ended up in the record)."""
+    (round-4 leak: the template's error field ended up in the record).
+    A failure does not count toward the two-completed-attempts budget, so
+    the ladder keeps halving (B=2 runs after the B=8 crash)."""
     template = json.dumps({"metric": "x", "value": 0.0,
                            "extra": {"error": "RESOURCE_EXHAUSTED"}})
     fps, extra, calls = _run_ladder([
         template,
         json.dumps({"fps": 1.5, "extra": {"B": 4}}),
+        json.dumps({"fps": 1.1, "extra": {"B": 2}}),
     ])
-    assert calls == [(8, "interleaved"), (4, "interleaved")]
+    assert calls == [(8, "interleaved"), (4, "interleaved"),
+                     (2, "interleaved")]
     assert fps == 1.5
     assert "error" not in extra
     assert extra["fleet_errors"][0]["B"] == 8
 
 
 def test_all_attempts_failing_returns_none():
-    fps, extra, calls = _run_ladder(["", "garbage"])
+    """Failures halve all the way down to B=2 (ADVICE r4: the two-attempt
+    schedule lost the fleet phase when both large sizes OOMed)."""
+    fps, extra, calls = _run_ladder(["", "garbage", "{}"])
     assert fps is None
-    assert len(calls) == 2
-    assert len(extra["fleet_errors"]) == 2
+    assert len(calls) == 3
+    assert len(extra["fleet_errors"]) == 3
+
+
+def test_no_fleet_below_two():
+    """B0 < 2 skips the phase entirely (ADVICE r4: a degenerate B=1
+    "fleet" must not be reported as the aggregate metric)."""
+    fps, extra, calls = _run_ladder([], B0=1)
+    assert fps is None and calls == []
