@@ -40,6 +40,7 @@
 #include "FullSystem/HessianBlocks.h"
 #include "FullSystem/ImmaturePoint.h"
 #include "FullSystem/Residuals.h"
+#include "FullSystem/PixelSelector.h"
 // test-oracle access to private members (pc_* pools, nullspace vectors);
 // all dependency headers are included (and include-guarded) above, so the
 // define is confined to these two class definitions in this TU
@@ -333,6 +334,40 @@ static int run_solve(int argc, char** argv) {
     return 0;
 }
 
+// ---------------------------------------------------------------- coarsesel
+// coarsesel <fx> <fy> <cx> <cy> <img.bin (h,w)> <level> <density>
+//           <out_map.bin (h_l, w_l)>
+// The coarse-level initializer selector (PixelSelector.h:170-195
+// makePixelStatus -> gridMaxSelection<pot>), run on dIp[level] exactly as
+// CoarseInitializer::setFirst does (CoarseInitializer.cpp:707).
+static int run_coarsesel(int argc, char** argv) {
+    float fx = atof(argv[0]), fy = atof(argv[1]);
+    float cx = atof(argv[2]), cy = atof(argv[3]);
+    std::vector<int> di;
+    std::vector<float> img = read_bin(argv[4], &di);
+    int level = atoi(argv[5]);
+    float density = atof(argv[6]);
+    int h = di[0], w = di[1];
+
+    set_calib(fx, fy, cx, cy, w, h);
+    CalibHessian hcalib;
+    FrameHessian* fh = new FrameHessian();
+    fh->makeImages(img.data(), &hcalib);
+
+    int wl = w >> level, hl = h >> level;
+    std::vector<bool> map(wl * hl, false);
+    std::vector<unsigned char> mapb(wl * hl, 0);
+    bool* bm = new bool[wl * hl];
+    int n = makePixelStatus(fh->dIp[level], bm, wl, hl, density);
+    std::vector<float> out(wl * hl);
+    for (int i = 0; i < wl * hl; i++) out[i] = bm[i] ? 1.0f : 0.0f;
+    out.push_back((float)n);  // appended count
+    write_bin(argv[7], out.data(), {hl * wl + 1});
+    delete[] bm;
+    delete fh;
+    return 0;
+}
+
 int main(int argc, char** argv) {
     if (argc < 2) {
         fprintf(stderr,
@@ -345,6 +380,7 @@ int main(int argc, char** argv) {
     if (cmd == "structpose") return run_structpose(argc - 2, argv + 2);
     if (cmd == "align2d") return run_align2d(argc - 2, argv + 2);
     if (cmd == "solve") return run_solve(argc - 2, argv + 2);
+    if (cmd == "coarsesel") return run_coarsesel(argc - 2, argv + 2);
     fprintf(stderr, "unknown subcommand %s\n", cmd.c_str());
     return 1;
 }

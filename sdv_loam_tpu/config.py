@@ -261,6 +261,14 @@ class Settings:
     # stage-2 structPoseEstimation (FullSystem.cpp:483-492); disable to run
     # photometric-only tracking (diagnostic / ablation)
     use_struct_pose: bool = True
+    # Matcher patch-reference selection by closest viewing direction to the
+    # target (the reference ships Reprojector::getCloseViewObs,
+    # Reprojector.cpp:295-330, but findMatchDirect always warps from
+    # pt->host, :238-254). Treats long-horizon match-acceptance decay: the
+    # host patch's appearance diverges from the target view as the camera
+    # approaches (VERDICT r4 item 5). The target frame itself is excluded
+    # (a self-warped patch is a zero-information match).
+    closest_view_ref: bool = False
 
     # --- pixel selection (settings.cpp:119-123) ---
     min_grad_hist_cut: float = 0.5

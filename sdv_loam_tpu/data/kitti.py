@@ -47,6 +47,8 @@ class KittiSequence:
     timestamps: np.ndarray
     image_files: list
     velodyne_files: list
+    exposures: np.ndarray = None  # (N,) ms; all-1.0 when the times file
+    #   has no exposure column (KITTI's own times.txt is stamp-only)
 
     @classmethod
     def open(cls, seq_dir: str, calib_file: str, sensor_file: str,
@@ -63,11 +65,31 @@ class KittiSequence:
                       if f.endswith(".bin"))
         n = min(len(imgs), len(vels))
         times_path = os.path.join(seq_dir, "times.txt")
+        exps = np.ones(n, np.float32)
         if os.path.exists(times_path):
-            ts = np.loadtxt(times_path)[:n]
+            rows = np.atleast_2d(np.loadtxt(times_path, ndmin=2))[:n]
+            if rows.shape[1] >= 3:
+                # TUM-style "id stamp exposure" rows (the legacy
+                # DatasetReader path, DatasetReader.h:231-275): zero
+                # exposures are interpolated from their neighbors; if any
+                # remain zero the whole column is discarded (all 1.0)
+                ts = rows[:, 1]
+                exps = rows[:, 2].astype(np.float32)
+                for i in np.flatnonzero(exps == 0):
+                    nb = [exps[j] for j in (i - 1, i + 1)
+                          if 0 <= j < len(exps) and exps[j] > 0]
+                    if nb:
+                        exps[i] = np.mean(nb)
+                if (exps == 0).any() or len(exps) != n:
+                    exps = np.ones(n, np.float32)
+            elif rows.shape[1] == 2:
+                ts = rows[:, 1]
+            else:
+                ts = rows[:, 0]
         else:
             ts = np.arange(n) * 0.1
-        return cls(seq_dir, und, sensor, pcal, ts, imgs[:n], vels[:n])
+        return cls(seq_dir, und, sensor, pcal, ts, imgs[:n], vels[:n],
+                   exposures=exps)
 
     @property
     def calib(self) -> PyramidCalib:
@@ -90,3 +112,6 @@ class KittiSequence:
 
     def get(self, i: int):
         return self.get_image(i), self.get_cloud(i), float(self.timestamps[i])
+
+    def get_exposure(self, i: int) -> float:
+        return float(self.exposures[i]) if self.exposures is not None else 1.0

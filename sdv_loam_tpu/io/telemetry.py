@@ -85,26 +85,82 @@ class Telemetry:
     def log_hessian(self, kf_id: int, H, b, nullspaces):
         """Deep-log streams of the final BA Hessian (setting_logStuff,
         FullSystem.cpp:1419-1499): eigenvalue spectrum of the assembled
-        system (eigenAllLog), its diagonal (DiagonalLog), the variances
-        1/diag (variancesLog), and the nullspace products ||H·n||/||b·n||
-        per gauge+scale direction (nullspacesLog)."""
+        system (eigenAllLog), of its pose block (eigenPLog), its diagonal
+        (DiagonalLog), the TRUE marginal variances diag(H^-1)
+        (variancesLog — the reference uses lastHS.inverse().diagonal(),
+        :1488), and the nullspace products n·Hn / n·b per gauge+scale
+        direction (nullspacesLog, :1493-1497). The reference's eigenALog
+        (affine-block spectrum) has no equivalent: this build keeps a,b
+        out of the BA state (PARITY.md §2.4 — affine is estimated by the
+        tracker and transferred, not bundle-adjusted)."""
         import numpy as np
         H = np.asarray(H, np.float64)
         b = np.asarray(b, np.float64)
         Ns = np.asarray(nullspaces, np.float64)
-        eig = np.linalg.eigvalsh(0.5 * (H + H.T))
+        Hs = 0.5 * (H + H.T)
+        eig = np.linalg.eigvalsh(Hs)
+        eig_p = np.linalg.eigvalsh(Hs[4:, 4:])     # pose block (CPARS=4)
         diag = np.diag(H)
-        with np.errstate(divide="ignore"):
-            variances = np.where(diag > 0, 1.0 / diag, 0.0)
-        hn = np.linalg.norm(H @ Ns, axis=0)
+        try:
+            variances = np.diag(np.linalg.inv(
+                Hs + np.eye(Hs.shape[0]) * 1e-12))
+        except np.linalg.LinAlgError:
+            with np.errstate(divide="ignore"):
+                variances = np.where(diag > 0, 1.0 / diag, 0.0)
+        hn = np.einsum("dk,dj,jk->k", Ns, Hs, Ns)  # n·Hn (nullspacesLog)
         bn = Ns.T @ b
         self.log_event(
             "hessian", kf=int(kf_id),
             eigen_all=[float(x) for x in np.sort(eig)],
+            eigen_pose=[float(x) for x in np.sort(eig_p)],
             diagonal=[float(x) for x in diag],
             variances=[float(x) for x in variances],
-            nullspace_H_norms=[float(x) for x in hn],
+            nullspace_H_prods=[float(x) for x in hn],
             nullspace_b_prods=[float(x) for x in bn])
+
+    def track_line(self, frame_id: int, timestamp: float, exposure: float,
+                   xi, aff, res0: float, try_iterations: int):
+        """Per-frame coarse-tracking stream (coarseTrackingLog,
+        FullSystem.cpp:502-512): frame id, timestamp, exposure, camToWorld
+        log, affine a/b, achieved level-0 residual, ladder tries."""
+        self.log_event(
+            "coarse_tracking", frame=int(frame_id), ts=float(timestamp),
+            exposure=float(exposure), xi=[float(x) for x in xi],
+            aff=[float(aff[0]), float(aff[1])], res0=float(res0),
+            tries=int(try_iterations))
+
+    def nums_line(self, kf_id: int, rmse: float, created: int,
+                  activated: int, dropped: int, opt_its: int, res_active:
+                  int, res_marg: int, aff, window_span: int, window: int):
+        """Per-keyframe statistics stream (numsLog,
+        FullSystem.cpp:1392-1411). resInL (the reference's always-
+        linearized set) has no equivalent: this build re-linearizes every
+        active residual each LM step (dense fixed-shape pools)."""
+        self.log_event(
+            "nums", kf=int(kf_id), rmse=float(rmse), created=int(created),
+            activated=int(activated), dropped=int(dropped),
+            opt_its=int(opt_its), res_active=int(res_active),
+            res_marg=int(res_marg), aff=[float(aff[0]), float(aff[1])],
+            window_span=int(window_span), window=int(window))
+
+    def log_lifetimes(self, shells):
+        """Frame-lifetime dump (printFrameLifetimes,
+        FullSystem.cpp:1501-1532): one record per frame — id,
+        keyframe/marginalization bookkeeping, and how far the optimizer
+        moved it off its tracked pose (movedByOpt)."""
+        import numpy as np
+        for sh in shells:
+            moved = 0.0
+            if "T_wc_tracked" in sh and "T_wc" in sh:
+                d = np.linalg.inv(sh["T_wc_tracked"]) @ sh["T_wc"]
+                moved = float(np.linalg.norm(d[:3, 3]))
+            self.log_event(
+                "lifetime", frame=int(sh.get("id", -1)),
+                ts=float(sh.get("timestamp", 0.0)),
+                is_kf=bool(sh.get("is_kf", False)),
+                marginalized_at=int(sh.get("marginalized_at", -1)),
+                moved_by_opt=moved,
+                n_matched=int(sh.get("n_matched", -1)))
 
     def summary(self) -> dict:
         """Run summary in the shape of main.cpp:948-963."""

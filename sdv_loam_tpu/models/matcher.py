@@ -48,7 +48,8 @@ def _project(T_wc_inv, pts_world, K):
 
 
 @partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell",
-                                   "lane_cap_frac", "lane_cap"))
+                                   "lane_cap_frac", "lane_cap",
+                                   "closest_view"))
 def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         pts_valid, pts_quality,
                         T_wc_stack, aff_stack, exposure_stack,
@@ -58,7 +59,10 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         w: int, h: int, max_level: int,
                         per_cell: bool = True,
                         lane_cap_frac: float = 1.0,
-                        lane_cap: int = 0):
+                        lane_cap: int = 0,
+                        closest_view: bool = False,
+                        frame_valid=None,
+                        exclude_slot=-1):
     """Match window map points into a target frame.
 
     `per_cell=True` keeps the reference's one-match-per-25px-cell limit
@@ -154,6 +158,46 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
 
     # --- findMatchDirect for compacted winners ---
     ref_idx = jnp.clip(ref_idx_per_point, 0, T_wc_stack.shape[0] - 1)[cidx]
+    if closest_view:
+        # Patch-reference selection by CLOSEST VIEWING DIRECTION to the
+        # target (the reference ships this as Reprojector::getCloseViewObs,
+        # Reprojector.cpp:295-330, but findMatchDirect never calls it and
+        # always warps from pt->host, :238-254 — the root of long-horizon
+        # match-acceptance decay: the host patch's appearance diverges from
+        # the target view as the camera approaches, VERDICT r4 item 5).
+        # SVO semantics: among window frames where the point is visible,
+        # pick the one whose viewing ray best aligns with the target's.
+        # Cost: F x M projections of plain math — no gathers.
+        T_fw = se3.inverse(T_wc_stack)                       # (F,4,4)
+        pf_all = jnp.einsum("fij,mj->fmi", T_fw[:, :3, :3], pw_c) \
+            + T_fw[:, :3, 3][:, None, :]                     # (F,M,3)
+        z_all = pf_all[..., 2]
+        zs_all = jnp.where(z_all == 0, 1e-9, z_all)
+        u_all = fx * pf_all[..., 0] / zs_all + cx
+        v_all = fy * pf_all[..., 1] / zs_all + cy
+        vis = ((z_all > 0)
+               & (u_all >= REF_BOUNDARY) & (u_all < w - REF_BOUNDARY)
+               & (v_all >= REF_BOUNDARY) & (v_all < h - REF_BOUNDARY))
+        if frame_valid is not None:
+            vis = vis & frame_valid[:, None]
+        # never the target itself (KF-refresh targets are window slots): a
+        # patch warped from the target into the target "matches" its own
+        # projection — a zero-information observation that would pin BA to
+        # the current estimate
+        vis = vis & (jnp.arange(vis.shape[0])[:, None]
+                     != jnp.asarray(exclude_slot))
+        c_f = T_wc_stack[:, :3, 3]                           # (F,3)
+        d_f = c_f[:, None, :] - pw_c[None, :, :]             # (F,M,3)
+        d_f = d_f / jnp.maximum(
+            jnp.linalg.norm(d_f, axis=-1, keepdims=True), 1e-9)
+        c_t = T_wc_target[:3, 3]
+        d_t = c_t[None, :] - pw_c                            # (M,3)
+        d_t = d_t / jnp.maximum(
+            jnp.linalg.norm(d_t, axis=-1, keepdims=True), 1e-9)
+        score = jnp.where(vis, jnp.einsum("fmi,mi->fm", d_f, d_t), -jnp.inf)
+        best = jnp.argmax(score, axis=0).astype(ref_idx.dtype)
+        any_vis = jnp.max(score, axis=0) > -jnp.inf
+        ref_idx = jnp.where(any_vis, best, ref_idx)
     T_wc_r = T_wc_stack[ref_idx]
     T_rw = se3.inverse(T_wc_r)
     pf_r = jnp.einsum("nij,nj->ni", T_rw[:, :3, :3], pw_c) + T_rw[:, :3, 3]
@@ -231,7 +275,8 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
 
 
 @partial(jax.jit, static_argnames=("w", "h", "max_level", "per_cell",
-                                   "lane_cap_frac", "lane_cap"))
+                                   "lane_cap_frac", "lane_cap",
+                                   "closest_view"))
 def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               pts_valid, pts_quality,
                               T_wc_stack, aff_stack, exposure_stack,
@@ -241,7 +286,10 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               w: int, h: int, max_level: int,
                               per_cell: bool = True,
                               lane_cap_frac: float = 1.0,
-                              lane_cap: int = 0):
+                              lane_cap: int = 0,
+                              closest_view: bool = False,
+                              frame_valid=None,
+                              exclude_slots=None):
     """Match the point pool into SEVERAL target frames in one dispatch.
 
     vmap of reproject_and_match over the target axis — used by the keyframe
@@ -250,13 +298,18 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     T_wc_targets: (S, 4, 4); ref_idx_stack: (S, N).
     Returns dict(matched (S, N), px (S, N, 2)).
     """
-    def one(flat_pyr, T_t, aff_t, exp_t, ref_idx):
+    if exclude_slots is None:
+        exclude_slots = jnp.full((T_wc_targets.shape[0],), -1, jnp.int32)
+
+    def one(flat_pyr, T_t, aff_t, exp_t, ref_idx, excl):
         return reproject_and_match(
             pts_u, pts_v, pts_idepth, pts_host, pts_type, pts_valid,
             pts_quality, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
             flat_pyr, offsets, widths, heights, T_t, aff_t, exp_t, K,
             ref_idx, w=w, h=h, max_level=max_level, per_cell=per_cell,
-            lane_cap_frac=lane_cap_frac, lane_cap=lane_cap)
+            lane_cap_frac=lane_cap_frac, lane_cap=lane_cap,
+            closest_view=closest_view, frame_valid=frame_valid,
+            exclude_slot=excl)
 
     return jax.vmap(one)(flat_pyr_stack, T_wc_targets, aff_targets,
-                         exposure_targets, ref_idx_stack)
+                         exposure_targets, ref_idx_stack, exclude_slots)

@@ -336,6 +336,30 @@ def select_compact_batch(args_b, *, pot: int, cap: int,
     return jax.vmap(one)(*args)
 
 
+# `pot` is a STATIC arg of select_compact (cell size changes every reduce
+# shape), so each distinct value is one compile. The reference lets
+# currentPotential take any integer (PixelSelector2.cpp:120-186); on a
+# low-texture scene the density feedback HUNTS, and each new pot cost a
+# fresh ~6-8 s tunnel compile inside the steady state (measured: kf.select
+# 0.15 -> 1.82 s/KF, 33 s of host time in a 32-frame bench phase). The
+# ladder bounds the variant set to 8 cached programs; quotia subsampling
+# (random drop toward the density target) absorbs the quantization, the
+# same way it absorbs any over-selection in the reference.
+_POT_LADDER = (1, 2, 3, 4, 6, 8, 12, 16)
+
+
+def _pot_bucket(pot) -> int:
+    """Largest ladder value <= pot (round DOWN: a too-small pot only
+    over-selects, which quotia subsampling then trims; a too-large pot
+    under-selects, which nothing can repair)."""
+    p = max(1, int(pot))
+    out = _POT_LADDER[0]
+    for v in _POT_LADDER:
+        if v <= p:
+            out = v
+    return out
+
+
 def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
                             px_v_map, density, key,
                             pot_state: dict, settings: Settings, cap: int,
@@ -346,7 +370,7 @@ def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
     values (so a lockstep driver can batch pulls across sequences).
     Returns (out dict, keep (cap,) bool np mask) via StopIteration.value.
     """
-    pot = max(1, int(pot_state.get("pot", 3)))
+    pot = _pot_bucket(pot_state.get("pot", 3))
 
     for recursion in range(2):
         # dispatch DESCRIPTOR: the fleet driver folds aligned sequences'
@@ -367,13 +391,13 @@ def make_maps_compact_steps(dI0, abs_grads, cand_mask, depth_map, px_u_map,
         K = num_have * (pot + 1) * (pot + 1)
         ideal_pot = max(1, int(np.sqrt(K / max(density, 1.0)) - 1))
         if recursion == 0 and quotia > 1.25 and pot > 1:
-            pot = min(ideal_pot, pot - 1)
+            pot = _pot_bucket(min(ideal_pot, pot - 1))
             continue
         if recursion == 0 and quotia < 0.25:
-            pot = max(ideal_pot, pot + 1)
+            pot = _pot_bucket(max(ideal_pot, pot + 1))
             continue
         break
-    pot_state["pot"] = ideal_pot
+    pot_state["pot"] = _pot_bucket(ideal_pot)
 
     keep = np.asarray(out["valid"]).copy()
     if quotia < 0.95:

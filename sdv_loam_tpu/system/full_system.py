@@ -48,7 +48,8 @@ def _set_slot_stacks(dI0_stack, flat_stack, slot, dI0, flat0):
 
 
 @jax.jit
-def _window_track_consts(eps, T_cw_fej, ref_slot, ref_aff, aff, exposure, K0):
+def _window_track_consts(eps, T_cw_fej, ref_slot, ref_aff, aff, exposure, K0,
+                         slot_used):
     """Per-KF-constant tracking args built ON DEVICE from the kf_opt
     output chain (deferred-readback mode): the next frame's track program
     then consumes the post-BA window poses without the host ever pulling
@@ -57,11 +58,11 @@ def _window_track_consts(eps, T_cw_fej, ref_slot, ref_aff, aff, exposure, K0):
     T_cw = se3.se3_exp(eps.astype(jnp.float32)) @ T_cw_fej
     T_wc = jnp.linalg.inv(T_cw)
     return dict(ref_aff=ref_aff,
-                exp2=jnp.ones(2, jnp.float32),
                 inf5=jnp.full((5,), jnp.inf, jnp.float32),
                 ref_T_wc=T_wc[ref_slot],
                 T_wc_stack=T_wc.astype(jnp.float32),
-                aff=aff, exposure=exposure, K0=K0)
+                aff=aff, exposure=exposure, K0=K0,
+                slot_used=jnp.asarray(slot_used))
 
 
 def _rotation_ladder(rot_delta=0.02):
@@ -364,7 +365,7 @@ class FullSystem:
     # ------------------------------------------------------------------
 
     def add_active_frame(self, image: np.ndarray, cloud: np.ndarray,
-                         timestamp: float):
+                         timestamp: float, exposure: float = 1.0):
         """Process one frame.
 
         Sequential mode (default, reference `linearizeOperation=true`
@@ -382,15 +383,15 @@ class FullSystem:
         numerics; only host/device overlap changes. `is_lost` and shell
         poses lag one frame; `flush()` (or `get_trajectory`) drains."""
         with self._on_device():
-            return self._add_active_frame(image, cloud, timestamp)
+            return self._add_active_frame(image, cloud, timestamp, exposure)
 
-    def _add_active_frame(self, image, cloud, timestamp):
+    def _add_active_frame(self, image, cloud, timestamp, exposure=1.0):
         if not (self.s.pipelined_frames and self.initialized
                 and not self.is_lost and len(self.shells) >= 2):
             self._drain_pending()
-            self._pump(self.frame_steps(image, cloud, timestamp))
+            self._pump(self.frame_steps(image, cloud, timestamp, exposure))
             return
-        gen = self.frame_steps(image, cloud, timestamp)
+        gen = self.frame_steps(image, cloud, timestamp, exposure)
         pulled = None
         while True:
             try:
@@ -523,7 +524,7 @@ class FullSystem:
             self._resolve_deferred_kf()
 
     def frame_steps(self, image: np.ndarray, cloud: np.ndarray,
-                    timestamp: float):
+                    timestamp: float, exposure: float = 1.0):
         """Generator form of addActiveFrame: yields a pytree of device
         values at every host-sync point and expects the pulled host values
         back via send(). A lockstep driver (system.multi.MultiSystem) runs
@@ -549,7 +550,7 @@ class FullSystem:
         self.shells.append(shell)
 
         frame = dict(dI=dI, abs_grad=abs_grad, shell=shell, _cloud=cloud,
-                     exposure=1.0, flat=flatten_pyramid(dI))
+                     exposure=float(exposure), flat=flatten_pyramid(dI))
 
         if not self.initialized:
             if self._mono is not None:
@@ -878,12 +879,12 @@ class FullSystem:
             # would cost one tiny device program per leaf
             self._track_const_dev = jax.device_put(dict(
                 ref_aff=np.asarray(self.track_ref_aff, np.float32),
-                exp2=np.asarray([1.0, 1.0], np.float32),
                 inf5=np.full((5,), np.inf, np.float32),
                 ref_T_wc=np.asarray(ref_shell["T_wc"], np.float32),
                 T_wc_stack=np.asarray(T_wc_stack, np.float32),
                 aff=np.asarray(self.aff, np.float32),
                 exposure=np.asarray(self.exposure, np.float32),
+                slot_used=np.asarray(self.slot_used, bool),
                 K0=np.asarray(self.K0, np.float32)))
         tc = self._track_const_dev
 
@@ -917,16 +918,24 @@ class FullSystem:
                 (self.track_ref, frame["dI"], flat, offs, ws, hs, self.Ks,
                  np.asarray(T_batch, np.float32), np.asarray(exclude),
                  np.asarray(aff_last, np.float32),
-                 tc["ref_aff"], tc["exp2"], tc["inf5"], tc["ref_T_wc"],
+                 tc["ref_aff"],
+                 # per-frame exposure pair [ref KF, new frame] — the only
+                 # track arg that varies with the INPUT stream (times-file
+                 # exposures, DatasetReader.h:213-217); host numpy, so it
+                 # transfers at dispatch without touching the per-KF cache
+                 np.asarray([self.exposure[self.track_ref_slot],
+                             frame["exposure"]], np.float32),
+                 tc["inf5"], tc["ref_T_wc"],
                  pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
                  tc["T_wc_stack"], tc["aff"],
                  tc["exposure"], self.dI0_stack,
-                 ridx_d, tc["K0"],
+                 ridx_d, tc["slot_used"], tc["K0"],
                  self.s.coarse_cutoff_th, self.s.huber_th),
                 dict(coarsest_lvl=coarsest, w=self.w, h=self.h,
                      max_level=self.levels - 1, n_refine=n_refine,
                      use_struct_pose=self.s.use_struct_pose,
                      struct_pose_mad=self.s.struct_pose_mad,
+                     closest_view=self.s.closest_view_ref,
                      struct_pose_e_tol=self.s.struct_pose_e_tol,
                      struct_pose_max_dt=self.s.struct_pose_max_dt))
             r0 = float(np.asarray(out["res"])[0])
@@ -1016,6 +1025,11 @@ class FullSystem:
             self.first_coarse_rmse = res[0]
         frame["flow"] = flow
         frame["track_rmse"] = res[0]
+        if self.s.log_stuff:
+            xi = se3.se3_log_np(np.asarray(T_wc, np.float64))
+            self.telemetry.track_line(
+                shell["id"], shell["timestamp"], 1.0, xi, aff_fh, res[0],
+                int(np.asarray(out.get("best_try", 0))))
         return bool(np.isfinite(flow).all() and np.isfinite(res[0]))
 
     def _keyframe_decision(self, frame) -> bool:
@@ -1251,6 +1265,23 @@ class FullSystem:
         self.telemetry.kf_line(len(self.order), int(self.pt_valid.sum()),
                                int(self.res_active.sum()),
                                float(self.last_coarse_rmse[0]))
+        if self.s.log_stuff and self.order:
+            # numsLog stream (FullSystem.cpp:1392-1411)
+            newest_sh = self.shells[self.frame_shell_idx[self.order[-1]]]
+            span = newest_sh["id"] - \
+                self.shells[self.frame_shell_idx[self.order[0]]]["id"]
+            self.telemetry.nums_line(
+                len(self.kf_shells) - 1, float(self.last_coarse_rmse[0]),
+                int(getattr(self, "last_new_traces", 0)),
+                int(np.size(getattr(self, "_last_act", []))),
+                int(self.slot_stats_out.sum()),
+                int(self.s.max_opt_iterations),
+                int((self.res_active & self.pt_valid[:, None]).sum()),
+                # resInM equivalent: cumulative residuals folded into HM
+                # via point marginalization (per-KF live count n/a — marg
+                # residuals are dense in HM, not kept as a set)
+                int(self.telemetry.counters.get("res_marginalized", 0)),
+                newest_sh["aff"], span, len(self.order))
         if self.observers:
             m = self.pt_valid
             xn = (self.pt["u"][m] - self.K0[2]) / self.K0[0]
@@ -1333,7 +1364,8 @@ class FullSystem:
             n_frames=F, w=self.w, h=self.h, max_level=self.levels - 1,
             levels=self.levels, track_ref_cap=s.track_ref_caps,
             gate_refresh=s.ba_gate_refresh,
-            resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap)
+            resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap,
+            closest_view=s.closest_view_ref)
 
         def kf_args(iters_, floor_=None):
             # host-side args are numpy-typed on purpose: jit transfers at
@@ -1410,7 +1442,8 @@ class FullSystem:
                 out["eps"], out["T_cw_fej"], np.int32(slot),
                 np.asarray(self.track_ref_aff, np.float32),
                 np.asarray(self.aff, np.float32),
-                np.asarray(self.exposure, np.float32), out["calib"])
+                np.asarray(self.exposure, np.float32), out["calib"],
+                np.asarray(self.slot_used, bool))
             small_dev = {k: out[k] for k in pull_keys}
             for v in jax.tree.leaves(small_dev):
                 if hasattr(v, "copy_to_host_async"):
@@ -1522,7 +1555,8 @@ class FullSystem:
                     out["eps"], out["T_cw_fej"], np.int32(slot),
                     np.asarray(self.track_ref_aff, np.float32),
                     np.asarray(self.aff, np.float32),
-                    np.asarray(self.exposure, np.float32), out["calib"])
+                    np.asarray(self.exposure, np.float32), out["calib"],
+                    np.asarray(self.slot_used, bool))
 
         if s.log_stuff:
             self.telemetry.log_hessian(len(self.kf_shells) - 1,
@@ -1588,6 +1622,10 @@ class FullSystem:
         for sl in [x for x in self.order if self.slot_flagged[x]]:
             imh = self.im_valid & (self.im["host"] == sl)
             self.im_valid[imh] = False
+            # frame-lifetime bookkeeping (printFrameLifetimes,
+            # FullSystem.cpp:1501-1532): KF index at marginalization
+            self.shells[self.frame_shell_idx[sl]]["marginalized_at"] = \
+                len(self.kf_shells)
             self.slot_used[sl] = False
             self.slot_flagged[sl] = False
             self.order.remove(sl)

@@ -155,7 +155,8 @@ def _kf_opt_step_impl(
         min_good_res_for_marg, min_idepth_h_marg,
         n_frames: int, w: int, h: int, max_level: int, levels: int,
         track_ref_cap=16384, gate_refresh: bool = False,
-        resf_at_fej: bool = True, p1_cap: int = 0, p2_cap: int = 0):
+        resf_at_fej: bool = True, p1_cap: int = 0, p2_cap: int = 0,
+        closest_view: bool = False):
     """The whole post-activation keyframe tail as ONE device program:
 
       matcher refresh (backprojectMap passes, FullSystem.cpp:1105-1131)
@@ -199,7 +200,9 @@ def _kf_opt_step_impl(
         w=w, h=h, max_level=max_level, per_cell=False,
         # host buckets p1_cap to the exact live old-host count; the frac is
         # the fallback for callers without a host mirror
-        lane_cap_frac=0.625, lane_cap=p1_cap)
+        lane_cap_frac=0.625, lane_cap=p1_cap,
+        closest_view=closest_view, frame_valid=frame_valid.astype(bool),
+        exclude_slot=newest)
     upd_fresh = fresh["matched"] & hf
     matcher_px = jnp.where(upd_fresh[:, None, None]
                            & (jnp.arange(F)[None, :, None] == newest),
@@ -214,6 +217,8 @@ def _kf_opt_step_impl(
         T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
         heights, T_wc, aff, exposure, calib, ref_idx_multi,
         w=w, h=h, max_level=max_level, per_cell=False,
+        closest_view=closest_view, frame_valid=frame_valid.astype(bool),
+        exclude_slots=jnp.arange(F, dtype=jnp.int32),
         # host buckets p2_cap to the exact newest-host (activation) count —
         # measured ~150-500 steady state vs the 2048 worst-case burst the
         # frac covers; an undersized static cap silently starved residuals
@@ -413,7 +418,8 @@ def activate_full_batch(args_b, *, w: int, h: int, w1: int, h1: int,
 
 
 _KF_STATICS = ("n_frames", "w", "h", "max_level", "levels", "track_ref_cap",
-               "gate_refresh", "resf_at_fej", "p1_cap", "p2_cap")
+               "gate_refresh", "resf_at_fej", "p1_cap", "p2_cap",
+               "closest_view")
 
 kf_opt_step = partial(jax.jit, static_argnames=_KF_STATICS)(_kf_opt_step_impl)
 
@@ -423,7 +429,8 @@ def kf_opt_step_batch(args_b, *,
                       n_frames: int, w: int, h: int, max_level: int,
                       levels: int, track_ref_cap=16384,
                       gate_refresh: bool = False, resf_at_fej: bool = True,
-                      p1_cap: int = 0, p2_cap: int = 0):
+                      p1_cap: int = 0, p2_cap: int = 0,
+                      closest_view: bool = False):
     """B-sequence fleet keyframe tail: vmap of the whole kf_opt_step program
     over a leading batch axis (every traced argument carries one, including
     per-sequence scalars like `newest` and `max_iters`).
@@ -447,7 +454,7 @@ def kf_opt_step_batch(args_b, *,
             *a, n_frames=n_frames, w=w, h=h, max_level=max_level,
             levels=levels, track_ref_cap=track_ref_cap,
             gate_refresh=gate_refresh, resf_at_fej=resf_at_fej,
-            p1_cap=p1_cap, p2_cap=p2_cap)
+            p1_cap=p1_cap, p2_cap=p2_cap, closest_view=closest_view)
 
     return jax.vmap(one)(*args)
 

@@ -50,7 +50,12 @@ def run_sequence(reader, settings: Settings | None = None,
     i = 0
     while i < n:
         img, cloud, ts = reader.get(i)
-        fs.add_active_frame(np.asarray(img), np.asarray(cloud), float(ts))
+        # per-frame exposure from the times file when present
+        # (DatasetReader.h:213-217; hardwired 1.0 for plain KITTI input)
+        exp = reader.get_exposure(i) if hasattr(reader, "get_exposure") \
+            else 1.0
+        fs.add_active_frame(np.asarray(img), np.asarray(cloud), float(ts),
+                            exposure=exp)
 
         # full reset: init failure early in the sequence (main.cpp:510-528).
         # Like the reference, the rebuilt system restarts its trajectory
@@ -68,6 +73,9 @@ def run_sequence(reader, settings: Settings | None = None,
         reader.close()
     summary = telemetry.summary()
     summary["lost"] = fs.is_lost
+    if settings.log_stuff:
+        # frame-lifetime dump (printFrameLifetimes, FullSystem.cpp:1501-1532)
+        telemetry.log_lifetimes(fs.shells)
     if not settings.debugout_runquiet:
         print(f"frames: {summary['frames']}  fps: {summary['fps']}  "
               f"ms/frame: {summary['ms_per_frame']}")

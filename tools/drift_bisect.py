@@ -70,6 +70,8 @@ if "nosp" in ablate:
     _kw["use_struct_pose"] = False
 if "spmad" in ablate:
     _kw["struct_pose_mad"] = True
+if "cvr" in ablate:
+    _kw["closest_view_ref"] = True
 if os.environ.get("SPTOL"):
     _kw["struct_pose_e_tol"] = float(os.environ["SPTOL"])
 if os.environ.get("DIAGFLOOR"):

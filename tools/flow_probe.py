@@ -9,6 +9,9 @@ Usage: python tools/flow_probe.py <op> <ground_contrast> [n_frames]
 
 import sys
 
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 from sdv_loam_tpu.config import Settings
