@@ -122,7 +122,12 @@ def _make_scenes(op, n_frames):
     seq_specs = [dict(yaw_rate=0.004, seed=7), dict(yaw_rate=-0.006, seed=13)]
     seqs, frame_sets = [], []
     for spec in seq_specs:
-        seq = make_sequence(n_frames=n_frames, step=1.0, lidar_stride=2,
+        # step=0.7 m @10 Hz = 25 km/h (KITTI residential, e.g. seq 00; the
+        # oracle fixture uses the same). The flow statistic is dominated by
+        # near GROUND ahead (half_width-independent): measured 42 px at
+        # step 1.0 through the pipeline vs 28 predicted/25 measured at 0.7
+        # (tools/scene_flow_tune.py sweep 2026-08-20).
+        seq = make_sequence(n_frames=n_frames, step=0.7, lidar_stride=2,
                             half_width=16.0, ground_contrast=0.25,
                             follow_path=True, **_op_scene_kwargs(op), **spec)
         seqs.append(seq)
@@ -350,7 +355,14 @@ def _fleet_ladder(op, B0, seqs, frame_sets, n_frames, extra):
         pickle.dump({"seqs": [(s.calib, s.sensor, s.poses_wc) for s in seqs],
                      "frame_sets": frame_sets}, f)
     modes = ["interleaved"]
-    if os.environ.get("SDV_BENCH_LOCKSTEP"):
+    # Lockstep (vmapped in-program batching) amortizes per-op LAUNCH cost
+    # across lanes. At the default op the content is gather-bound and
+    # lockstep measured a net loss (round 4); at the FAST op the per-op
+    # tensors are ~4x smaller, so launch overhead is a larger fraction and
+    # lockstep is worth an attempt. SDV_BENCH_LOCKSTEP=1 forces it
+    # everywhere; =0 disables it everywhere.
+    ls = os.environ.get("SDV_BENCH_LOCKSTEP")
+    if ls == "1" or (op == "fast" and ls != "0"):
         modes.append("lockstep")
     sizes = []
     B = B0

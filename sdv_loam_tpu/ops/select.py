@@ -94,18 +94,31 @@ def _block_reduce_argmax(score, block):
 
     Returns (best_val (nby, nbx), best_flat_idx (nby, nbx)) where idx is the
     flattened H*W pixel index of the block maximum.
+
+    Implemented as SEPARABLE row/col reductions + an equality pass instead
+    of reshape(nby, block, nbx, block).transpose(0, 2, 1, 3): that
+    transpose put block*block in the minor dims and measured 57 ms for
+    pot=4 at 1200x360 on TPU (vs 0.5 ms for other pots) — XLA lowers the
+    4-element minor-dim shuffle catastrophically. The separable form is
+    layout-friendly at every pot. Ties pick the smallest flat pixel index
+    (deterministic; the C++ keeps the first strict improvement in dx-major
+    order, gridMaxSelection PixelSelector.h:30-54 — tie sets are
+    measure-zero on float scores).
     """
     h, w = score.shape
     nby, nbx = h // block, w // block
-    s = score.reshape(nby, block, nbx, block).transpose(0, 2, 1, 3).reshape(
-        nby, nbx, block * block)
-    k = jnp.argmax(s, axis=-1)
-    v = jnp.take_along_axis(s, k[..., None], axis=-1)[..., 0]
-    by = k // block
-    bx = k % block
-    yy = jnp.arange(nby)[:, None] * block + by
-    xx = jnp.arange(nbx)[None, :] * block + bx
-    return v, yy * w + xx
+
+    def block_reduce(x, op):
+        x = op(x.reshape(nby, block, w), 1)           # (nby, w)
+        return op(x.reshape(nby, nbx, block), 2)      # (nby, nbx)
+
+    v = block_reduce(score, jnp.max)
+    vb = jnp.repeat(jnp.repeat(v, block, axis=0), block, axis=1)
+    flat = (jnp.arange(h)[:, None] * w + jnp.arange(w)[None, :]).astype(
+        jnp.int32)
+    first = jnp.where(score == vb, flat, jnp.int32(h * w))
+    idx = block_reduce(first, jnp.min)
+    return v, idx
 
 
 def _pad_to(img, hp, wp, value):
@@ -170,8 +183,19 @@ def _cascade_winners(dI0, ag0, ag1, ag2, ths_smoothed, cand_mask, key,
 
     def cell_dirs(k, n_y, n_x, rep):
         idx = jax.random.randint(k, (n_y, n_x), 0, 16)
-        d = dirs[idx]                                  # (n_y, n_x, 2)
-        d = jnp.repeat(jnp.repeat(d, rep, axis=0), rep, axis=1)
+        # one-hot MXU matmul, not dirs[idx]: gathers cost per-INDEX on TPU
+        # and at pot=1 this is one index per PIXEL (measured 94 ms at
+        # 1200x360; sub-ms for every other pot). The 432k x 16 @ 16 x 2
+        # matmul is ~14 MFLOP — free.
+        oh = jax.nn.one_hot(idx.reshape(-1), 16, dtype=jnp.float32)
+        d = (oh @ dirs).reshape(n_y, n_x, 2)           # (n_y, n_x, 2)
+        # upsample by broadcast+reshape, NOT jnp.repeat: the repeat lowers
+        # to a concat/gather chain that measured 71 ms for pot=4 at
+        # 1200x360 on TPU (other pots 0.6 ms — an XLA lowering cliff);
+        # the broadcast form is uniformly sub-ms
+        d = jnp.broadcast_to(d[:, None, :, None, :],
+                             (n_y, rep, n_x, rep, 2)).reshape(
+            n_y * rep, n_x * rep, 2)
         return d[:hp, :wp]
 
     d1 = cell_dirs(k1, nc_y, nc_x, pot)

@@ -8,10 +8,18 @@ No cross-device collectives are needed in the odometry math; XLA's SPMD
 partitioner simply runs each sequence's step on its device, and host-side
 control stays global.
 
-`batched_window_step` is the jittable "training step" over a batch of window
-states: pyramid build -> photometric pyramid tracking -> BA linearization ->
-Hessian assembly/Schur -> damped solve -> state update. It is what the
-multi-chip dry-run compiles over N virtual devices.
+SCOPE — smoke-level mesh plumbing only. `_single_step` here is a REDUCED
+combined step (pyramid -> track -> BA solve) whose one job is to validate
+Mesh/NamedSharding/pjit wiring cheaply (it compiles in seconds;
+tests/test_parallel.py). The PRODUCTION multi-chip paths are elsewhere:
+
+  * parallel/dryrun.py — shards the real fused production programs
+    (preprocess_scan, track_frame_step, kf_opt_step and the fleet *_batch
+    variants) over the mesh, plus the device-pinned InterleavedFleet run;
+  * system/multi.py — the fleet drivers the bench and dryrun actually use.
+
+Do not extend this module's step; extend the production programs and shard
+those.
 """
 
 from __future__ import annotations

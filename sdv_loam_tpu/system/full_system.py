@@ -65,6 +65,40 @@ def _window_track_consts(eps, T_cw_fej, ref_slot, ref_aff, aff, exposure, K0,
                 slot_used=jnp.asarray(slot_used))
 
 
+def _joint_select_rounds(gens):
+    """Drive several `make_maps_compact_steps` generators with each round's
+    pulls batched: their first rounds dispatch back-to-back and share ONE
+    device_get ("dispatch_select_pair") instead of paying a ~40 ms tunnel
+    round trip each. Rare follow-up rounds (density-feedback retries)
+    resolve individually. Returns the list of (out, keep) results."""
+    results = [None] * len(gens)
+    live = {i: g for i, g in enumerate(gens)}
+    reqs = {}
+    for i, g in list(live.items()):
+        try:
+            reqs[i] = g.send(None)
+        except StopIteration as stop:   # pragma: no cover (never 0-round)
+            results[i] = stop.value
+            live.pop(i)
+    while live:
+        ids = sorted(reqs)
+        if len(ids) >= 2:
+            pulled_tuple = yield ("dispatch_select_pair",
+                                  tuple(reqs[i] for i in ids), {})
+            pulled = dict(zip(ids, pulled_tuple))
+        else:
+            (i,) = ids
+            pulled = {i: (yield reqs[i])}
+        reqs = {}
+        for i, p in pulled.items():
+            try:
+                reqs[i] = live[i].send(p)
+            except StopIteration as stop:
+                results[i] = stop.value
+                live.pop(i)
+    return results
+
+
 def _rotation_ladder(rot_delta=0.02):
     """The 26 unit-quaternion rotation perturbations of trackNewCoarse
     (FullSystem.cpp:341-398)."""
@@ -197,6 +231,14 @@ class FullSystem:
         self.last_coarse_rmse = np.full(5, 100.0)
         self.current_min_act_dist = 2.0
         self.pot_state = {"pot": 3}
+        # SEPARATE pot feedback for the mono-supplement pass: its density
+        # target differs ~3x from the LiDAR pass's, so a SHARED state made
+        # the two passes hunt from each other's pot every keyframe
+        # (measured: pot 4 <-> 12 oscillation, 2 cascade rounds per call,
+        # and a fresh select-program compile whenever the hunt crossed a
+        # new pot value). The reference has one currentPotential but also
+        # only one selection pass per keyframe.
+        self.pot_state_mono = {"pot": 3}
         self.ignore_kf = False
 
         self._im_pool = None           # device-resident immature pool
@@ -467,6 +509,14 @@ class FullSystem:
             if req[0] == "dispatch_select":
                 from sdv_loam_tpu.ops.select import select_compact
                 return self._block(select_compact(*req[1], **req[2]))
+            if req[0] == "dispatch_select_pair":
+                # both selection passes of one keyframe, dispatched
+                # back-to-back (async) and pulled in ONE device_get — the
+                # two passes are independent, and each pull over the
+                # tunnel costs a ~40 ms round trip
+                from sdv_loam_tpu.ops.select import select_compact
+                return tuple(self._block(select_compact(*r[1], **r[2]))
+                             for r in req[1])
             if req[0] == "dispatch_trace":
                 return ("__device__", self._block(
                     trace_ops.trace_points(*req[1], **req[2])))
@@ -1699,16 +1749,29 @@ class FullSystem:
         density = (lidar_area / img_area) * self.s.desired_immature_density
 
         cand = scan["depth_map"] > 0
-        out, keep = yield from make_maps_compact_steps(
+        # seeded by the frame's own id, NOT len(self.shells): in
+        # pipelined mode the NEXT frame's shell is already appended
+        # when this runs, and a mode-dependent seed would make the
+        # pipelined trajectory diverge from sequential mode
+        gens = [make_maps_compact_steps(
             frame["dI"][0], frame["abs_grad"], cand, scan["depth_map"],
             scan["px_u_map"], scan["px_v_map"],
             density, self._next_key(), self.pot_state, self.s,
             cap=self.s.n_select_cap,
-            # seeded by the frame's own id, NOT len(self.shells): in
-            # pipelined mode the NEXT frame's shell is already appended
-            # when this runs, and a mode-dependent seed would make the
-            # pipelined trajectory diverge from sequential mode
-            sub_seed=self.s.seed + frame["shell"]["id"] + 1)
+            sub_seed=self.s.seed + frame["shell"]["id"] + 1)]
+        if frame["add_feat"]:
+            # monocular supplement pass (ground-dominated scenes) — an
+            # independent selection, so its dispatch+pull rides the same
+            # device_get as the LiDAR pass's (joint rounds below)
+            gens.append(make_maps_compact_steps(
+                frame["dI"][0], frame["abs_grad"],
+                jnp.ones((self.h, self.w), bool), scan["depth_map"],
+                scan["px_u_map"], scan["px_v_map"],
+                self.s.desired_immature_density, self._next_key(),
+                self.pot_state_mono, self.s, cap=self.s.n_select_cap,
+                sub_seed=self.s.seed + 7919 + frame["shell"]["id"] + 1))
+        results = yield from _joint_select_rounds(gens)
+        out, keep = results[0]
         lid_keep = keep & out["finite"]
         xs = out["u"][lid_keep]
         ys = out["v"][lid_keep]
@@ -1717,16 +1780,10 @@ class FullSystem:
         # optional monocular points when the scene is ground-dominated
         mono = None
         if frame["add_feat"]:
-            mout, mkeep = yield from make_maps_compact_steps(
-                frame["dI"][0], frame["abs_grad"],
-                jnp.ones((self.h, self.w), bool), scan["depth_map"],
-                scan["px_u_map"], scan["px_v_map"],
-                self.s.desired_immature_density, self._next_key(),
-                self.pot_state, self.s, cap=self.s.n_select_cap,
-                sub_seed=self.s.seed + 7919 + frame["shell"]["id"] + 1)
+            mout, mkeep = results[1]
             # suppress around selected LiDAR points (setMask: ±pot in x,
             # ±1 in y) — vectorized membership test on pixel ids
-            pot = self.pot_state.get("pot", 3)
+            pot = self.pot_state_mono.get("pot", 3)
             dxs = np.arange(-pot, pot + 1)
             dys = np.array([-1, 0, 1])
             sx = np.clip(xs[:, None, None] + dxs[None, :, None],
