@@ -271,6 +271,36 @@ class Settings:
     # the 500-frame S-curve (2026-08-20): ATE 3.23 -> 1.51 m, KF-refresh
     # match survival ~2x (p2 matched 1.6k -> 6.9k mid-run), runtime < +5%.
     closest_view_ref: bool = True
+    # view-ray cos-improvement threshold over the HOST before switching
+    # the patch reference. NEGATIVE (default) = no host preference: always
+    # take the argmax frame when any candidate is visible. This matters
+    # for FAR points, whose view-ray cos values TIE in float32 across the
+    # whole window: with no host preference they all re-reference to one
+    # deterministic (lowest-slot) frame, which is where the measured win
+    # lives — margin 0 (keep host on ties) degraded the 150-frame
+    # protocol 0.96% -> 1.12% and margin 0.02 erased the S-curve win
+    # entirely (3.04 vs 1.51). Positive values are a conservatism knob
+    # for weak-geometry deployments.
+    closest_view_margin: float = -1.0
+    # apply closest-view references in the per-frame TRACKING match too
+    # (the pass that feeds structPoseEstimation). SCALE-DEPENDENT (all
+    # numbers deterministic, 2026-08-20): at KITTI scale it carries the
+    # BASELINE-protocol win (150-frame fixture 0.96% of path vs 2.12%
+    # with it off, 1.12% sensor-only — only full switching passes the 1%
+    # target), but at the weak-geometry 320x96 CI scene the window POSE
+    # error makes switched-patch transfer lossy (0.63% -> 9.0%;
+    # tests/test_drift_gate.py runs that scene with this flag False, the
+    # recommended configuration for low-resolution/weak-geometry
+    # deployments).
+    closest_view_track: bool = True
+    closest_view_track_sensor_only: bool = False
+    # restrict KF-REFRESH switching to LiDAR-pinned (sensor) depths.
+    # Estimated-depth points pay patch-transfer error
+    # ~ f * b_perp * idepth_error when switched, but their matches are
+    # also the ones that decay fastest with a pinned host patch; the
+    # refresh feeds the robust FEJ BA (many residuals), so all-points
+    # switching is the default.
+    closest_view_sensor_only: bool = False
 
     # --- pixel selection (settings.cpp:119-123) ---
     min_grad_hist_cut: float = 0.5

@@ -51,7 +51,7 @@ def _project(T_wc_inv, pts_world, K):
                                    "lane_cap_frac", "lane_cap",
                                    "closest_view"))
 def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
-                        pts_valid, pts_quality,
+                        pts_valid, pts_quality, pts_is_sensor,
                         T_wc_stack, aff_stack, exposure_stack,
                         dI0_stack, flat_pyr, offsets, widths, heights,
                         T_wc_target, aff_target, exposure_target,
@@ -62,7 +62,9 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                         lane_cap: int = 0,
                         closest_view: bool = False,
                         frame_valid=None,
-                        exclude_slot=-1):
+                        exclude_slot=-1,
+                        closest_view_margin=0.0,
+                        closest_view_sensor_only=False):
     """Match window map points into a target frame.
 
     `per_cell=True` keeps the reference's one-match-per-25px-cell limit
@@ -197,7 +199,20 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
         score = jnp.where(vis, jnp.einsum("fmi,mi->fm", d_f, d_t), -jnp.inf)
         best = jnp.argmax(score, axis=0).astype(ref_idx.dtype)
         any_vis = jnp.max(score, axis=0) > -jnp.inf
-        ref_idx = jnp.where(any_vis, best, ref_idx)
+        # Switch policy. A non-host reference adds patch-transfer error
+        # from window POSE error (the patch lands at the point's
+        # projection in the ref frame; only host=ref cancels it exactly)
+        # plus idepth error x host->ref baseline for estimated depths.
+        # Two traced knobs tune the trade without recompiling:
+        # `closest_view_margin` — required view-ray cos improvement over
+        # the host; `closest_view_sensor_only` — restrict switching to
+        # LiDAR-pinned depths (exact idepth transfer).
+        host_score = jnp.take_along_axis(
+            score, ref_idx[None, :].astype(jnp.int32), axis=0)[0]
+        better = jnp.max(score, axis=0) > host_score + closest_view_margin
+        switchable = jnp.where(jnp.asarray(closest_view_sensor_only),
+                               pts_is_sensor[cidx], True)
+        ref_idx = jnp.where(any_vis & better & switchable, best, ref_idx)
     T_wc_r = T_wc_stack[ref_idx]
     T_rw = se3.inverse(T_wc_r)
     pf_r = jnp.einsum("nij,nj->ni", T_rw[:, :3, :3], pw_c) + T_rw[:, :3, 3]
@@ -278,7 +293,7 @@ def reproject_and_match(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                                    "lane_cap_frac", "lane_cap",
                                    "closest_view"))
 def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
-                              pts_valid, pts_quality,
+                              pts_valid, pts_quality, pts_is_sensor,
                               T_wc_stack, aff_stack, exposure_stack,
                               dI0_stack, flat_pyr_stack, offsets, widths,
                               heights, T_wc_targets, aff_targets,
@@ -289,7 +304,9 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
                               lane_cap: int = 0,
                               closest_view: bool = False,
                               frame_valid=None,
-                              exclude_slots=None):
+                              exclude_slots=None,
+                              closest_view_margin=0.0,
+                              closest_view_sensor_only=False):
     """Match the point pool into SEVERAL target frames in one dispatch.
 
     vmap of reproject_and_match over the target axis — used by the keyframe
@@ -304,12 +321,14 @@ def reproject_and_match_multi(pts_u, pts_v, pts_idepth, pts_host, pts_type,
     def one(flat_pyr, T_t, aff_t, exp_t, ref_idx, excl):
         return reproject_and_match(
             pts_u, pts_v, pts_idepth, pts_host, pts_type, pts_valid,
-            pts_quality, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
+            pts_quality, pts_is_sensor,
+            T_wc_stack, aff_stack, exposure_stack, dI0_stack,
             flat_pyr, offsets, widths, heights, T_t, aff_t, exp_t, K,
             ref_idx, w=w, h=h, max_level=max_level, per_cell=per_cell,
             lane_cap_frac=lane_cap_frac, lane_cap=lane_cap,
             closest_view=closest_view, frame_valid=frame_valid,
-            exclude_slot=excl)
+            exclude_slot=excl, closest_view_margin=closest_view_margin,
+            closest_view_sensor_only=closest_view_sensor_only)
 
     return jax.vmap(one)(flat_pyr_stack, T_wc_targets, aff_targets,
                          exposure_targets, ref_idx_stack, exclude_slots)

@@ -42,7 +42,8 @@ def _track_frame_step_impl(pools, dI_new_pyr, flat_new, offsets, widths,
                            exposures,
                            min_res_for_abort, ref_T_wc,
                            pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid,
-                           pt_quality, T_wc_stack, aff_stack, exposure_stack,
+                           pt_quality, pt_is_sensor,
+                           T_wc_stack, aff_stack, exposure_stack,
                            dI0_stack, ref_idx_per_point, frame_valid, K0,
                            cutoff_th, huber_th,
                            coarsest_lvl: int, w: int, h: int, max_level: int,
@@ -50,7 +51,9 @@ def _track_frame_step_impl(pools, dI_new_pyr, flat_new, offsets, widths,
                            struct_pose_mad: bool = False,
                            struct_pose_e_tol: float = 1.5,
                            struct_pose_max_dt: float = 0.0,
-                           closest_view: bool = False):
+                           closest_view: bool = False,
+                           closest_view_margin=0.0,
+                           closest_view_sensor_only=False):
     """Returns dict(T_ref_to_fh, T_wc, aff, res, flow, ok, n_matched,
     best_try) — `try_exclude` masks hypotheses already consumed by a host
     retry (the reference's achievedRes re-track ladder, trackNewCoarse:446)."""
@@ -108,11 +111,12 @@ def _track_frame_step_impl(pools, dI_new_pyr, flat_new, offsets, widths,
     # 3. semi-direct matching of the window map into the new frame
     match = reproject_and_match(
         pt_u, pt_v, pt_idepth, pt_host, pt_type, pt_valid, pt_quality,
-        T_wc_stack, aff_stack, exposure_stack, dI0_stack,
+        pt_is_sensor, T_wc_stack, aff_stack, exposure_stack, dI0_stack,
         flat_new, offsets, widths, heights,
         T_wc_fh, tr["aff"], exposures[1], K0, ref_idx_per_point,
         w=w, h=h, max_level=max_level, closest_view=closest_view,
-        frame_valid=frame_valid)
+        frame_valid=frame_valid, closest_view_margin=closest_view_margin,
+        closest_view_sensor_only=closest_view_sensor_only)
     n_matched = match["matched"].sum()
 
     # 4. struct pose refinement against the matched pixels
@@ -184,7 +188,9 @@ def track_frame_step_batch(args_b, etol_b, mdt_b,
                            coarsest_lvl: int, w: int, h: int, max_level: int,
                            n_refine: int = 3, use_struct_pose: bool = True,
                            struct_pose_mad: bool = False,
-                           closest_view: bool = False):
+                           closest_view: bool = False,
+                           closest_view_margin=0.0,
+                           closest_view_sensor_only=False):
     """B-sequence fleet tracking: vmap of the whole per-frame track program
     over a leading batch axis (every traced argument carries one, including
     the per-sequence scalar thresholds as (B,) arrays).
@@ -211,6 +217,8 @@ def track_frame_step_batch(args_b, etol_b, mdt_b,
             n_refine=n_refine, use_struct_pose=use_struct_pose,
             struct_pose_mad=struct_pose_mad,
             struct_pose_e_tol=etol_, struct_pose_max_dt=mdt_,
-            closest_view=closest_view)
+            closest_view=closest_view,
+            closest_view_margin=closest_view_margin,
+            closest_view_sensor_only=closest_view_sensor_only)
 
     return jax.vmap(one)(jnp.asarray(etol_b), jnp.asarray(mdt_b), *args)

@@ -917,8 +917,10 @@ class FullSystem:
                 if n_window == 2 else pool["host"]
             self._pt_dev = (
                 pool["u"], pool["v"], pool["idepth"], pool["host"],
-                pool["type"], pool["pt_valid"], pool["quality"], ridx_d)
-        (pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, ridx_d) = self._pt_dev
+                pool["type"], pool["pt_valid"], pool["quality"],
+                pool["is_sensor"], ridx_d)
+        (pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, psen_d,
+         ridx_d) = self._pt_dev
 
         # per-KF-constant device args (window poses, affine/exposure stacks,
         # calib, the tracking-ref pose): uploaded once per keyframe instead
@@ -976,7 +978,7 @@ class FullSystem:
                  np.asarray([self.exposure[self.track_ref_slot],
                              frame["exposure"]], np.float32),
                  tc["inf5"], tc["ref_T_wc"],
-                 pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d,
+                 pu_d, pv_d, pid_d, ph_d, pty_d, pv2_d, pq_d, psen_d,
                  tc["T_wc_stack"], tc["aff"],
                  tc["exposure"], self.dI0_stack,
                  ridx_d, tc["slot_used"], tc["K0"],
@@ -985,7 +987,11 @@ class FullSystem:
                      max_level=self.levels - 1, n_refine=n_refine,
                      use_struct_pose=self.s.use_struct_pose,
                      struct_pose_mad=self.s.struct_pose_mad,
-                     closest_view=self.s.closest_view_ref,
+                     closest_view=self.s.closest_view_track,
+                     closest_view_margin=np.float32(
+                         self.s.closest_view_margin),
+                     closest_view_sensor_only=np.bool_(
+                         self.s.closest_view_track_sensor_only),
                      struct_pose_e_tol=self.s.struct_pose_e_tol,
                      struct_pose_max_dt=self.s.struct_pose_max_dt))
             r0 = float(np.asarray(out["res"])[0])
@@ -1415,7 +1421,9 @@ class FullSystem:
             levels=self.levels, track_ref_cap=s.track_ref_caps,
             gate_refresh=s.ba_gate_refresh,
             resf_at_fej=s.ba_resf_at_fej, p2_cap=p2_cap,
-            closest_view=s.closest_view_ref)
+            closest_view=s.closest_view_ref,
+            closest_view_margin=np.float32(s.closest_view_margin),
+            closest_view_sensor_only=np.bool_(s.closest_view_sensor_only))
 
         def kf_args(iters_, floor_=None):
             # host-side args are numpy-typed on purpose: jit transfers at

@@ -156,7 +156,8 @@ def _kf_opt_step_impl(
         n_frames: int, w: int, h: int, max_level: int, levels: int,
         track_ref_cap=16384, gate_refresh: bool = False,
         resf_at_fej: bool = True, p1_cap: int = 0, p2_cap: int = 0,
-        closest_view: bool = False):
+        closest_view: bool = False, closest_view_margin=0.0,
+        closest_view_sensor_only=False):
     """The whole post-activation keyframe tail as ONE device program:
 
       matcher refresh (backprojectMap passes, FullSystem.cpp:1105-1131)
@@ -195,6 +196,7 @@ def _kf_opt_step_impl(
     hf = pt_valid & (pt_host != newest)
     fresh = reproject_and_match(
         pt_u, pt_v, pt_idepth, pt_host, pt_type, hf, pt_quality,
+        pt_is_sensor,
         T_wc, aff, exposure, dI0_stack, flat_newest, offs, widths, heights,
         T_wc_newest, aff_newest, exp_newest, calib, ref_idx_newest,
         w=w, h=h, max_level=max_level, per_cell=False,
@@ -202,7 +204,8 @@ def _kf_opt_step_impl(
         # the fallback for callers without a host mirror
         lane_cap_frac=0.625, lane_cap=p1_cap,
         closest_view=closest_view, frame_valid=frame_valid.astype(bool),
-        exclude_slot=newest)
+        exclude_slot=newest, closest_view_margin=closest_view_margin,
+        closest_view_sensor_only=closest_view_sensor_only)
     upd_fresh = fresh["matched"] & hf
     matcher_px = jnp.where(upd_fresh[:, None, None]
                            & (jnp.arange(F)[None, :, None] == newest),
@@ -214,11 +217,14 @@ def _kf_opt_step_impl(
     nf = pt_valid & (pt_host == newest)
     multi = reproject_and_match_multi(
         pt_u, pt_v, pt_idepth, pt_host, pt_type, nf, pt_quality,
+        pt_is_sensor,
         T_wc, aff, exposure, dI0_stack, flat_slots_stack, offs, widths,
         heights, T_wc, aff, exposure, calib, ref_idx_multi,
         w=w, h=h, max_level=max_level, per_cell=False,
         closest_view=closest_view, frame_valid=frame_valid.astype(bool),
         exclude_slots=jnp.arange(F, dtype=jnp.int32),
+        closest_view_margin=closest_view_margin,
+        closest_view_sensor_only=closest_view_sensor_only,
         # host buckets p2_cap to the exact newest-host (activation) count —
         # measured ~150-500 steady state vs the 2048 worst-case burst the
         # frac covers; an undersized static cap silently starved residuals
@@ -430,7 +436,8 @@ def kf_opt_step_batch(args_b, *,
                       levels: int, track_ref_cap=16384,
                       gate_refresh: bool = False, resf_at_fej: bool = True,
                       p1_cap: int = 0, p2_cap: int = 0,
-                      closest_view: bool = False):
+                      closest_view: bool = False, closest_view_margin=0.0,
+                      closest_view_sensor_only=False):
     """B-sequence fleet keyframe tail: vmap of the whole kf_opt_step program
     over a leading batch axis (every traced argument carries one, including
     per-sequence scalars like `newest` and `max_iters`).
@@ -454,7 +461,9 @@ def kf_opt_step_batch(args_b, *,
             *a, n_frames=n_frames, w=w, h=h, max_level=max_level,
             levels=levels, track_ref_cap=track_ref_cap,
             gate_refresh=gate_refresh, resf_at_fej=resf_at_fej,
-            p1_cap=p1_cap, p2_cap=p2_cap, closest_view=closest_view)
+            p1_cap=p1_cap, p2_cap=p2_cap, closest_view=closest_view,
+            closest_view_margin=closest_view_margin,
+            closest_view_sensor_only=closest_view_sensor_only)
 
     return jax.vmap(one)(*args)
 

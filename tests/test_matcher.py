@@ -42,7 +42,7 @@ def test_match_recovers_projection():
     out = reproject_and_match(
         jnp.asarray(us), jnp.asarray(vs), jnp.asarray(idepth),
         jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32), jnp.asarray(valid),
-        jnp.asarray(rng.random(N), jnp.float32),
+        jnp.asarray(rng.random(N), jnp.float32), jnp.ones(N, bool),
         T_wc, aff, expo, dI0_stack, flat, offs, ws, hs,
         jnp.asarray(T_wc_t_pert, jnp.float32), jnp.zeros(2, jnp.float32),
         jnp.float32(1.0),
@@ -90,7 +90,7 @@ def test_one_match_per_cell():
     out = reproject_and_match(
         jnp.asarray(us), jnp.asarray(vs), jnp.asarray(idepth),
         jnp.zeros(N, jnp.int32), jnp.zeros(N, jnp.int32), jnp.asarray(valid),
-        jnp.asarray(rng.random(N), jnp.float32),
+        jnp.asarray(rng.random(N), jnp.float32), jnp.ones(N, bool),
         T_wc, jnp.zeros((2, 2), jnp.float32), jnp.ones(2, jnp.float32),
         dI0_stack, flat, offs, ws, hs,
         T_wc[1], jnp.zeros(2, jnp.float32), jnp.float32(1.0),

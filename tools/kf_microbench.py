@@ -121,7 +121,8 @@ nf = a("pt_valid") & (a("pt_host") == newest)
 def m1(tok):
     return reproject_and_match(
         a("pt_u") + tok, a("pt_v"), a("pt_idepth"), a("pt_host"),
-        a("pt_type"), hf, a("pt_quality"), T_wc, a("aff"), a("exposure"),
+        a("pt_type"), hf, a("pt_quality"), a("pt_is_sensor"),
+        T_wc, a("aff"), a("exposure"),
         a("dI0_stack"), a("flat_newest"), a("offs"), a("widths"),
         a("heights"), T_wc[newest], a("aff")[newest], a("exposure")[newest],
         a("calib"), a("ref_idx_newest"), w=w, h=h,
@@ -131,7 +132,8 @@ def m1(tok):
 def m2(tok):
     return reproject_and_match_multi(
         a("pt_u") + tok, a("pt_v"), a("pt_idepth"), a("pt_host"),
-        a("pt_type"), nf, a("pt_quality"), T_wc, a("aff"), a("exposure"),
+        a("pt_type"), nf, a("pt_quality"), a("pt_is_sensor"),
+        T_wc, a("aff"), a("exposure"),
         a("dI0_stack"), a("flat_slots_stack"), a("offs"), a("widths"),
         a("heights"), T_wc, a("aff"), a("exposure"), a("calib"),
         a("ref_idx_multi"), w=w, h=h, max_level=kw["max_level"],
